@@ -1,0 +1,197 @@
+"""End-to-end maintenance jobs over a manifest Table (SURVEY 3.x traces).
+
+Each job is: build a lazy Dataset pipeline -> stream it into immutable
+parquet files via :mod:`engine.writer` -> commit ONE snapshot on the
+driver (atomic manifest rename). None of these call ``ray.init``.
+
+Jobs
+----
+- :func:`ingest`          schema-evolving ingest + sanitize (3.1 trace)
+- :func:`merge_into`      MERGE INTO by url, LWW warc_ts (M1 milestone)
+- :func:`compact`         bin-packing compaction (engine.compact)
+- :func:`cluster`         Z-order/Hilbert clustering rewrite (M3)
+- :func:`expire`          snapshot TTL + refcount GC (M4)
+- :func:`full_maintenance` ingest -> merge -> compact -> cluster -> expire
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+import pyarrow as pa
+import ray.data
+
+from engine.config import EngineConfig
+from engine.manifest import FileEntry, Table
+from engine.merge import merge_datasets
+from engine.sanitize import sanitize_stage
+from engine.writer import write_files
+from engine.zorder import ZKEY_COL, cluster_dataset, collect_lang_codes
+from engine import compact as compact_mod
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (reference: dynamic field growth, transposer.py:48-49)
+# ---------------------------------------------------------------------------
+
+def unify_parquet_schemas(paths: list) -> pa.Schema:
+    """Driver-side footer scan -> unified schema. Footers are metadata-only
+    reads (no row groups); for very many files fan this out with
+    ``ray.remote`` -- at 10^6 files it is an embarrassingly parallel
+    metadata pass, here a loop suffices."""
+    import pyarrow.parquet as pq
+
+    return pa.unify_schemas([pq.read_schema(p) for p in paths])
+
+
+def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Null-fill missing columns + reorder + cast: the engine's version of
+    'new keys appended dynamically, missing keys simply absent'
+    (``docs/processing-engine.md:147-154``; DictWriter empty-cell
+    semantics ``file_service.py:16-21``)."""
+    cols = []
+    for f in schema:
+        if f.name in batch.column_names:
+            cols.append(batch.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(len(batch), type=f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Dataset":
+    """read_parquet across files with heterogeneous-but-unifiable schemas:
+    missing columns surface as nulls (the manifest's ``fields`` list grown
+    dynamically, reference ``transposer.py:48-49``)."""
+    schema = unify_parquet_schemas(paths)
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(paths, schema=schema, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# jobs
+# ---------------------------------------------------------------------------
+
+def ingest(
+    table: Table,
+    source,
+    cfg: EngineConfig = EngineConfig(),
+    sanitize_cols=("text",),
+    rows_per_file: Optional[int] = None,
+    job_id: Optional[str] = None,
+) -> dict:
+    """Ingest a Dataset (or list of parquet paths) into the table:
+    sanitize -> write files -> commit snapshot. Raw-first durability is
+    inherited from immutability: inputs are never mutated, and a failed
+    job commits nothing (reference: raw blob persisted before
+    processing, ``file_service.py:32-35``)."""
+    job_id = job_id or uuid.uuid4().hex[:8]
+    ds = evolved_read(source) if isinstance(source, (list, tuple)) else source
+    if sanitize_cols:
+        ds = sanitize_stage(ds, columns=sanitize_cols)
+    entries = write_files(
+        ds,
+        table.data_dir,
+        prefix=f"ingest-{job_id}",
+        stats_cols=cfg.stats_cols,
+        rows_per_file=rows_per_file,
+    )
+    snap = table.commit(f"ingest:{job_id}", add_files=entries, schema=_entries_schema(entries))
+    return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
+
+
+def merge_into(
+    table: Table,
+    cfg: EngineConfig = EngineConfig(),
+    source=None,
+    job_id: Optional[str] = None,
+) -> dict:
+    """MERGE INTO: current table contents (optionally unioned with a new
+    source Dataset) collapsed to one row per url, LWW by warc_ts with
+    non-empty coalesce; NULL-url rows pass through. Rewrites the table
+    (new files, old files stay until expiration -- snapshot isolation)."""
+    job_id = job_id or uuid.uuid4().hex[:8]
+    ds = table.scan()
+    if source is not None:
+        ds = ds.union(source)
+    merged = merge_datasets(ds, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=cfg.merge_buckets)
+    entries = write_files(
+        merged, table.data_dir, prefix=f"merge-{job_id}", stats_cols=cfg.stats_cols
+    )
+    old_paths = [f.path for f in table.live_files()]
+    snap = table.commit(f"merge:{job_id}", add_files=entries, remove_files=old_paths)
+    return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
+
+
+def compact(
+    table: Table,
+    cfg: EngineConfig = EngineConfig(),
+    target_bytes: Optional[int] = None,
+    job_id: Optional[str] = None,
+    **kwargs,
+) -> dict:
+    job_id = job_id or uuid.uuid4().hex[:8]
+    return compact_mod.compact_table(
+        table,
+        target_bytes=target_bytes or cfg.target_file_bytes,
+        job_id=job_id,
+        stats_cols=cfg.stats_cols,
+        small_fraction=cfg.compact_small_fraction,
+        **kwargs,
+    )
+
+
+def cluster(
+    table: Table,
+    cfg: EngineConfig = EngineConfig(),
+    rows_per_file: Optional[int] = None,
+    job_id: Optional[str] = None,
+) -> dict:
+    """Z-order/Hilbert clustering rewrite: compute zkey -> range-partition
+    sort -> write files (zkey min/max recorded per file) -> snapshot."""
+    job_id = job_id or uuid.uuid4().hex[:8]
+    ds = table.scan()
+    codes = collect_lang_codes(ds)
+    clustered = cluster_dataset(table.scan(), codes, curve=cfg.cluster_curve)
+    entries = write_files(
+        clustered,
+        table.data_dir,
+        prefix=f"cluster-{job_id}",
+        stats_cols=tuple(cfg.stats_cols) + (ZKEY_COL,),
+        rows_per_file=rows_per_file,
+    )
+    old_paths = [f.path for f in table.live_files()]
+    snap = table.commit(f"cluster:{job_id}", add_files=entries, remove_files=old_paths)
+    return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
+
+
+def expire(table: Table, cfg: EngineConfig = EngineConfig(), now: Optional[float] = None) -> dict:
+    return table.expire_snapshots(cfg.snapshot_ttl_seconds, now=now)
+
+
+def full_maintenance(
+    table_root: str,
+    source,
+    cfg: EngineConfig = EngineConfig(),
+    target_bytes: Optional[int] = None,
+    rows_per_file: Optional[int] = None,
+) -> dict:
+    """The flagship pipeline (SURVEY 3.1 engine trace): ingest -> MERGE ->
+    compact -> cluster, each committing its own snapshot."""
+    table = Table.create(table_root)
+    out = {"ingest": ingest(table, source, cfg, rows_per_file=rows_per_file)}
+    out["merge"] = merge_into(table, cfg)
+    out["compact"] = compact(table, cfg, target_bytes=target_bytes)
+    out["cluster"] = cluster(table, cfg, rows_per_file=rows_per_file)
+    out["rows"] = table.snapshot().total_rows
+    return out
+
+
+def _entries_schema(entries: list) -> Optional[pa.Schema]:
+    """Schema of the just-written files, from one footer (metadata-only)."""
+    if not entries:
+        return None
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(entries[0].path)

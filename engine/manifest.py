@@ -1,0 +1,378 @@
+"""Snapshot manifest log with per-file stats, refcount GC and job lineage.
+
+Generalizes the reference's one-row-per-file Mongo manifest
+(``backend/app/repositories/file_repository.py:41-54``: ``_id, filename,
+raw_fs_id, processed_fs_id, status, fields, records_count, created_at``)
+and its lifecycle:
+
+- append-only snapshot log  <- the ``pending -> processed/error`` state
+  machine (``file_service.py:47-55,66-81``)
+- immutable data files; a rewrite produces new files + a new snapshot,
+  old files survive until expiration  <- raw/processed blob duality
+- retention expiration + refcount GC  <- ``cleanup.py:16-54`` and the
+  metadata-first cascading delete ``file_repository.py:126-143``
+- per-partition job lineage for idempotent resume  <- the
+  ``processed_fs_id`` backfill pattern (``file_service.py:105-139``)
+
+Layout on disk (works on any fsspec-style path; local dirs here)::
+
+    table_root/
+      data/                   part-*.parquet (immutable)
+      manifest/
+        snapshot-00000007.json   {id, parent, ts, operation, schema, files:[...]}
+        CURRENT                  "snapshot-00000007.json"  (atomic os.replace)
+        jobs/<job_id>.jsonl      per-partition lineage for resume
+
+The manifest is small driver-side metadata: at 10^12 rows / 128 MB files
+a snapshot lists ~10^6 file entries -- a few hundred MB of JSON, which is
+why ``files`` is stored one-entry-per-line and streamed. A single writer
+(the job driver) commits; atomicity = write-temp + ``os.replace`` of
+``CURRENT`` (SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, asdict
+from typing import Iterable, Optional
+
+import pyarrow as pa
+import ray.data
+
+
+@dataclass
+class FileEntry:
+    """One immutable data file (the manifest row; reference analog:
+    the ``files`` doc with ``records_count``/``fields``)."""
+
+    path: str
+    rows: int
+    bytes: int
+    #: logical partition label (e.g. "lang=en/salt=3" or a zkey range id);
+    #: compaction bins within a partition.
+    partition: Optional[str] = None
+    #: per-column {"col": [min, max]} (A6; Z-order pruning relies on it)
+    stats: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(**d)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: Optional[int]
+    timestamp: float
+    operation: str
+    schema_json: list  # [[name, type_str], ...]
+    files: list  # list[FileEntry]
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+def _schema_to_json(schema: pa.Schema) -> list:
+    return [[f.name, str(f.type)] for f in schema]
+
+
+class Table:
+    """A manifest-tracked Parquet table rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.jobs_dir = os.path.join(self.manifest_dir, "jobs")
+
+    # -- lifecycle --------------------------------------------------------
+
+    @classmethod
+    def create(cls, root: str, schema: Optional[pa.Schema] = None) -> "Table":
+        t = cls(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.jobs_dir, exist_ok=True)
+        if t.current_snapshot_id() is None:
+            t.commit("create", add_files=[], schema=schema)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "Table":
+        t = cls(root)
+        if t.current_snapshot_id() is None:
+            raise FileNotFoundError(f"no table at {root}")
+        return t
+
+    # -- snapshot log ------------------------------------------------------
+
+    def _snap_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:08d}.json")
+
+    def current_snapshot_id(self) -> Optional[int]:
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        try:
+            with open(cur) as f:
+                name = f.read().strip()
+            return int(name.split("-")[1].split(".")[0])
+        except FileNotFoundError:
+            return None
+
+    def snapshot_ids(self) -> list:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith("snapshot-") and n.endswith(".json"):
+                out.append(int(n.split("-")[1].split(".")[0]))
+        return sorted(out)
+
+    def snapshot(self, snapshot_id: Optional[int] = None) -> Snapshot:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(self._snap_path(sid)) as f:
+            header = json.loads(f.readline())
+            files = [FileEntry.from_json(json.loads(line)) for line in f if line.strip()]
+        return Snapshot(
+            snapshot_id=header["snapshot_id"],
+            parent_id=header["parent_id"],
+            timestamp=header["timestamp"],
+            operation=header["operation"],
+            schema_json=header["schema"],
+            files=files,
+        )
+
+    def commit(
+        self,
+        operation: str,
+        add_files: Iterable[FileEntry],
+        remove_files: Iterable[str] = (),
+        schema: Optional[pa.Schema] = None,
+        timestamp: Optional[float] = None,
+    ) -> Snapshot:
+        """Atomically append a snapshot: parent's files - removed + added.
+
+        Single-writer (job driver). First line = header, then one JSON
+        line per file entry so huge manifests stream.
+        """
+        parent_id = self.current_snapshot_id()
+        if parent_id is not None:
+            parent = self.snapshot(parent_id)
+            removed = set(remove_files)
+            files = [f for f in parent.files if f.path not in removed]
+            schema_json = _schema_to_json(schema) if schema is not None else parent.schema_json
+        else:
+            files = []
+            schema_json = _schema_to_json(schema) if schema is not None else []
+        files = files + list(add_files)
+        sid = 0 if parent_id is None else parent_id + 1
+        snap_path = self._snap_path(sid)
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "snapshot_id": sid,
+                        "parent_id": parent_id,
+                        "timestamp": time.time() if timestamp is None else timestamp,
+                        "operation": operation,
+                        "schema": schema_json,
+                        "num_files": len(files),
+                        "total_rows": sum(fe.rows for fe in files),
+                    }
+                )
+                + "\n"
+            )
+            for fe in files:
+                f.write(json.dumps(fe.to_json()) + "\n")
+        os.replace(tmp, snap_path)
+        cur_tmp = os.path.join(self.manifest_dir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(os.path.basename(snap_path))
+        os.replace(cur_tmp, os.path.join(self.manifest_dir, "CURRENT"))
+        return self.snapshot(sid)
+
+    # -- scan --------------------------------------------------------------
+
+    def live_files(self, snapshot_id: Optional[int] = None) -> list:
+        return self.snapshot(snapshot_id).files
+
+    def scan(
+        self,
+        columns: Optional[list] = None,
+        snapshot_id: Optional[int] = None,
+        predicate_stats: Optional[dict] = None,
+        **read_kwargs,
+    ) -> "ray.data.Dataset":
+        """read_parquet over exactly the files referenced by a snapshot
+        (reference analog: serve ``processed_fs_id``, S3 in SURVEY 2.1).
+
+        ``predicate_stats``: {"col": (lo, hi)} -- prune files whose
+        manifest min/max range does not intersect [lo, hi] before any
+        task is launched (the manifest-level analog of row-group pruning).
+        """
+        files = self.live_files(snapshot_id)
+        if predicate_stats:
+            files = [f for f in files if _stats_overlap(f, predicate_stats)]
+        if not files:
+            schema = self.arrow_schema(snapshot_id)
+            return ray.data.from_arrow(schema.empty_table() if schema else pa.table({}))
+        if columns is None:
+            # default scan hides engine-internal ("__"-prefixed) columns
+            # (e.g. the persisted cluster key) -- one footer read.
+            import pyarrow.parquet as pq
+
+            names = pq.read_schema(files[0].path).names
+            hidden = [n for n in names if n.startswith("__")]
+            if hidden:
+                columns = [n for n in names if not n.startswith("__")]
+        return ray.data.read_parquet(
+            [f.path for f in files], columns=columns, **read_kwargs
+        )
+
+    def arrow_schema(self, snapshot_id: Optional[int] = None) -> Optional[pa.Schema]:
+        sj = self.snapshot(snapshot_id).schema_json
+        if not sj:
+            return None
+        # minimal round-trip for the types the engine uses
+        m = {
+            "string": pa.string(),
+            "large_string": pa.large_string(),
+            "binary": pa.binary(),
+            "large_binary": pa.large_binary(),
+            "timestamp[us]": pa.timestamp("us"),
+            "int64": pa.int64(),
+            "int32": pa.int32(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "uint64": pa.uint64(),
+        }
+        return pa.schema([(n, m.get(t, pa.string())) for n, t in sj])
+
+    # -- expiration + GC (L3/L4) ------------------------------------------
+
+    def expire_snapshots(
+        self,
+        ttl_seconds: float,
+        now: Optional[float] = None,
+        keep_last: int = 1,
+    ) -> dict:
+        """Drop snapshots older than TTL (always keeping the current one
+        and at least ``keep_last``), then GC data files no longer
+        referenced by any remaining snapshot.
+
+        Ordering discipline from the reference (``file_repository.py:
+        126-143``): remove metadata first, then blobs -- a crash between
+        the two leaves only orphaned data files, never dangling metadata;
+        orphans are re-collectable by a later sweep (gc_orphans).
+        """
+        now = time.time() if now is None else now
+        current = self.current_snapshot_id()
+        ids = self.snapshot_ids()
+        keep = set(ids[-keep_last:]) | {current}
+        expired = []
+        for sid in ids:
+            if sid in keep:
+                continue
+            snap = self.snapshot(sid)
+            if now - snap.timestamp >= ttl_seconds:
+                expired.append(sid)
+        # refcount: files referenced by surviving snapshots
+        survivors = [sid for sid in ids if sid not in expired]
+        live = set()
+        for sid in survivors:
+            for fe in self.snapshot(sid).files:
+                live.add(fe.path)
+        doomed = set()
+        for sid in expired:
+            for fe in self.snapshot(sid).files:
+                if fe.path not in live:
+                    doomed.add(fe.path)
+        # metadata first...
+        for sid in expired:
+            os.remove(self._snap_path(sid))
+        # ...then data files (refcount == 0 only)
+        for path in sorted(doomed):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        return {
+            "expired_snapshots": expired,
+            "deleted_files": sorted(doomed),
+            "surviving_snapshots": survivors,
+        }
+
+    def gc_orphans(self) -> list:
+        """Delete data files referenced by NO snapshot (failed-task debris;
+        safe because commits only reference fully-written files)."""
+        live = set()
+        for sid in self.snapshot_ids():
+            for fe in self.snapshot(sid).files:
+                live.add(os.path.abspath(fe.path))
+        removed = []
+        for name in os.listdir(self.data_dir):
+            p = os.path.abspath(os.path.join(self.data_dir, name))
+            if p.endswith(".parquet") and p not in live:
+                os.remove(p)
+                removed.append(p)
+        return removed
+
+
+def _stats_overlap(fe: FileEntry, predicate_stats: dict) -> bool:
+    for col, (lo, hi) in predicate_stats.items():
+        rng = fe.stats.get(col)
+        if rng is None:
+            continue  # no stats -> cannot prune
+        fmin, fmax = rng
+        if fmin is None or fmax is None:
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            return False
+    return True
+
+
+class JobLog:
+    """Per-partition lineage log for idempotent resume (L1/L2).
+
+    One JSON line per *committed* partition:
+    ``{"partition_id", "input_files", "output_files", "rows", "state"}``.
+    Resume = skip partitions already logged as committed (generalizes the
+    ``processed_fs_id`` backfill check, ``file_service.py:113-118``).
+    """
+
+    def __init__(self, table: Table, job_id: str):
+        self.path = os.path.join(table.jobs_dir, f"{job_id}.jsonl")
+
+    def committed(self) -> dict:
+        out = {}
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        if e.get("state") == "committed":
+                            out[e["partition_id"]] = e
+        except FileNotFoundError:
+            pass
+        return out
+
+    def record(self, partition_id, input_files, output_files, rows, state="committed", error=None):
+        entry = {
+            "partition_id": partition_id,
+            "input_files": input_files,
+            "output_files": output_files,
+            "rows": rows,
+            "state": state,
+        }
+        if error:
+            entry["error"] = str(error)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return entry

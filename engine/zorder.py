@@ -1,0 +1,130 @@
+"""Z-order / Hilbert clustering keys on ``(lang, url)`` (L6, north_rule).
+
+The cluster key is a 64-bit space-filling-curve index over
+
+- ``x`` = dictionary code of ``lang`` (driver collects the distinct set
+  once -- tiny -- and broadcasts it into the map tasks), and
+- ``y`` = the first 8 bytes of the url after its scheme, interpreted
+  big-endian (lexicographic order preserved -> min/max url stats of the
+  clustered files are tight, enabling manifest-level pruning).
+
+Both the bit-interleave (Morton) and the Hilbert index are computed with
+numpy uint64 kernels inside ``map_batches(zero_copy_batch=True)`` -- no
+Python per-row work. Clustering itself is ``ds.sort("__zkey")``: Ray
+Data's sort samples range boundaries and range-partitions the exchange
+(shuffle #2 of the engine, SURVEY 7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ZKEY_COL = "__zkey"
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_M8 = np.uint64(0x00FF00FF00FF00FF)
+_M16 = np.uint64(0x0000FFFF0000FFFF)
+
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into the even bit positions."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & _M16
+    x = (x | (x << np.uint64(8))) & _M8
+    x = (x | (x << np.uint64(4))) & _M4
+    x = (x | (x << np.uint64(2))) & _M2
+    x = (x | (x << np.uint64(1))) & _M1
+    return x
+
+
+def morton_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """64-bit Z-order index of two 32-bit coordinates (x in odd bits)."""
+    return (_spread_bits(x) << np.uint64(1)) | _spread_bits(y)
+
+
+def hilbert_index(x: np.ndarray, y: np.ndarray, order: int = 32) -> np.ndarray:
+    """Vectorized 2-D Hilbert curve index (order<=32 -> 64-bit result).
+
+    Classic bottom-up rotate-and-accumulate formulation; the loop is over
+    bit levels (32 iterations), each level a numpy kernel over all rows.
+    """
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    y = y.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(order - 1)
+    while int(s) > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = x[flip]
+        x[flip] = (s - np.uint64(1)) - xf
+        y_f = y[flip]
+        y[flip] = (s - np.uint64(1)) - y_f
+        # swap x and y where ry == 0
+        xs = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = xs
+        s >>= np.uint64(1)
+    return d
+
+
+def url_sort_key32(url_arr) -> np.ndarray:
+    """First 8 post-scheme bytes of each url, big-endian -> top 32 bits.
+
+    Preserves lexicographic order of urls (within the 8-byte prefix), so
+    z-clustered files carry tight url min/max stats for pruning.
+    """
+    stripped = pc.replace_substring_regex(url_arr, pattern="^https?://", replacement="")
+    sliced = pc.utf8_slice_codeunits(pc.fill_null(stripped, ""), 0, 8)
+    ser = sliced.to_pandas().str.encode("utf-8", errors="replace")
+    fixed = np.asarray(ser.tolist(), dtype="S8")  # zero-padded/truncated to 8 bytes
+    as_u64 = fixed.view(np.uint64)
+    if np.little_endian:
+        as_u64 = as_u64.byteswap()
+    return (as_u64 >> np.uint64(32)).astype(np.uint64)
+
+
+def add_cluster_key(
+    batch: pa.Table, lang_codes: dict, curve: str = "zorder"
+) -> pa.Table:
+    """map_batches body: append the 64-bit cluster key column."""
+    langs = batch.column("lang").to_pandas()
+    x = langs.map(lang_codes).fillna(len(lang_codes)).to_numpy(dtype=np.uint64)
+    y = url_sort_key32(batch.column("url"))
+    if curve == "hilbert":
+        key = hilbert_index(x, y)
+    else:
+        key = morton_interleave(x, y)
+    return batch.append_column(ZKEY_COL, pa.array(key, type=pa.uint64()))
+
+
+def collect_lang_codes(ds) -> dict:
+    """Driver-side: distinct langs -> dense codes (broadcast to tasks).
+
+    The distinct set is tiny (ISO codes); ``unique`` is a shuffle of
+    pre-aggregated partials, cheap at any scale.
+    """
+    vals = sorted(v for v in ds.unique("lang") if v is not None)
+    return {v: i for i, v in enumerate(vals)}
+
+
+def cluster_dataset(ds, lang_codes: dict, curve: str = "zorder"):
+    """Attach key computation + range-partitioning sort; key column is
+    kept so the writer can record per-file zkey stats (dropped at scan)."""
+    keyed = ds.map_batches(
+        add_cluster_key,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"lang_codes": lang_codes, "curve": curve},
+    )
+    return keyed.sort(ZKEY_COL)

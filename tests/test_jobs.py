@@ -1,0 +1,105 @@
+"""End-to-end maintenance jobs: ingest/merge/compact/cluster/expire and
+schema evolution (SURVEY 3.1 trace, FIXTURES F5)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from engine.config import EngineConfig
+from engine.jobs import (
+    align_to_schema,
+    cluster,
+    compact,
+    evolved_read,
+    expire,
+    full_maintenance,
+    ingest,
+    merge_into,
+    unify_parquet_schemas,
+)
+from engine.manifest import Table
+from engine.pages import read_pages, synth_pages_table
+
+
+CFG = EngineConfig(merge_buckets=4)
+
+
+def test_schema_evolution_align():
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    batch = pa.table({"b": ["x"], "a": [1]})
+    out = align_to_schema(batch, schema)
+    assert out.schema == schema
+    assert out.column("c").null_count == 1
+
+
+def test_evolved_read_unifies(tmp_path, ray_session):
+    p1 = str(tmp_path / "f1.parquet")
+    p2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), p1)
+    pq.write_table(pa.table({"a": [3], "c": [1.5]}), p2)
+    schema = unify_parquet_schemas([p1, p2])
+    assert set(schema.names) == {"a", "b", "c"}
+    df = evolved_read([p1, p2]).to_pandas()
+    assert len(df) == 3 and set(df.columns) == {"a", "b", "c"}
+    # missing keys simply absent -> nulls (docs/processing-engine.md:147-154)
+    assert df[df.a == 3].b.isna().all()
+
+
+def test_full_maintenance_scan_equality(tmp_table_root, sf_dir, ray_session):
+    out = full_maintenance(
+        tmp_table_root, read_pages(sf_dir), CFG, target_bytes=4 << 20, rows_per_file=128
+    )
+    t = Table.load(tmp_table_root)
+    got = t.scan().to_pandas()
+    assert len(got) == out["rows"] > 0
+    # sanitize happened on ingest; merge collapsed duplicate urls
+    assert got[got.url.notna()].url.is_unique
+    # snapshot isolation: pre-merge snapshot still scans the full ingest
+    ingest_rows = out["ingest"]["rows"]
+    pre = t.scan(snapshot_id=out["ingest"]["snapshot_id"]).to_pandas()
+    assert len(pre) == ingest_rows == 500
+
+
+def test_merge_is_idempotent(tmp_table_root, ray_session):
+    t = Table.create(tmp_table_root)
+    ingest(t, ray.data.from_arrow(synth_pages_table(600)), CFG, sanitize_cols=())
+    r1 = merge_into(t, CFG)
+    before = t.scan().to_pandas().sort_values(["url", "text"], na_position="first")
+    r2 = merge_into(t, CFG)
+    after = t.scan().to_pandas().sort_values(["url", "text"], na_position="first")
+    # second merge only re-collapses null-url passthrough rows: row set equal
+    pd.testing.assert_frame_equal(before.reset_index(drop=True), after.reset_index(drop=True))
+
+
+def test_cluster_preserves_rows_and_records_stats(tmp_table_root, ray_session):
+    t = Table.create(tmp_table_root)
+    ingest(t, ray.data.from_arrow(synth_pages_table(500)), CFG)
+    before = t.scan().to_pandas().sort_values(["url", "warc_ts"], na_position="first").reset_index(drop=True)
+    cluster(t, CFG, rows_per_file=100)
+    after = t.scan().to_pandas().sort_values(["url", "warc_ts"], na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after[before.columns])
+    files = t.live_files()
+    assert all("__zkey" in f.stats for f in files)
+    zranges = sorted(tuple(f.stats["__zkey"]) for f in files)
+    # range partitioning: file zkey ranges are non-overlapping
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(zranges, zranges[1:]):
+        assert a_hi <= b_lo
+
+
+def test_expire_gc_after_maintenance(tmp_table_root, sf_dir, ray_session):
+    full_maintenance(tmp_table_root, read_pages(sf_dir), CFG, target_bytes=4 << 20)
+    t = Table.load(tmp_table_root)
+    pre_files = {f.path for f in t.live_files()}
+    res = expire(t, EngineConfig(snapshot_ttl_seconds=0.0))
+    # all superseded snapshots went away; current files survive
+    assert res["expired_snapshots"]
+    for p in res["deleted_files"]:
+        assert p not in pre_files
+        assert not os.path.exists(p)
+    for p in pre_files:
+        assert os.path.exists(p)
+    assert t.snapshot().total_rows == len(t.scan().to_pandas())

@@ -1,0 +1,108 @@
+"""Manifest log: snapshot commits, scan pruning, snapshot isolation,
+expiration + refcount GC, orphan collection (L1-L4)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from engine.manifest import FileEntry, JobLog, Table
+from engine.writer import write_block
+
+
+def _mk_file(t: Table, name: str, rows=10, lang=("en", "en")) -> FileEntry:
+    tbl = pa.table({"url": [f"u{i}" for i in range(rows)], "lang": [lang[0]] * rows})
+    d = write_block(tbl, t.data_dir, "x", stats_cols=("url", "lang"), filename=name)
+    return FileEntry.from_json(d)
+
+
+def test_commit_and_current(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    assert t.current_snapshot_id() == 0
+    fe = _mk_file(t, "a.parquet")
+    s1 = t.commit("ingest", [fe])
+    assert s1.snapshot_id == 1 and s1.parent_id == 0
+    assert [f.path for f in t.live_files()] == [fe.path]
+    assert t.snapshot().total_rows == 10
+
+
+def test_remove_files_and_isolation(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    a = _mk_file(t, "a.parquet")
+    t.commit("ingest", [a])
+    b = _mk_file(t, "b.parquet")
+    t.commit("rewrite", [b], remove_files=[a.path])
+    # current sees only b; snapshot 1 still sees a (snapshot isolation)
+    assert [f.path for f in t.live_files()] == [b.path]
+    assert [f.path for f in t.live_files(snapshot_id=1)] == [a.path]
+    assert os.path.exists(a.path)
+
+
+def test_stats_pruning(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    en = _mk_file(t, "en.parquet", lang=("en", "en"))
+    zh = _mk_file(t, "zh.parquet", lang=("zh", "zh"))
+    t.commit("ingest", [en, zh])
+    files = t.live_files()
+    from engine.manifest import _stats_overlap
+
+    hit = [f for f in files if _stats_overlap(f, {"lang": ("zh", "zh")})]
+    assert [os.path.basename(f.path) for f in hit] == ["zh.parquet"]
+
+
+def test_expire_refcount_gc(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    a = _mk_file(t, "a.parquet")
+    s1 = t.commit("ingest", [a], timestamp=1000.0)
+    b = _mk_file(t, "b.parquet")
+    t.commit("rewrite", [b], remove_files=[a.path], timestamp=2000.0)
+    # shared file c referenced by snapshot 3 too
+    res = t.expire_snapshots(ttl_seconds=500.0, now=3000.0)
+    # snapshots 0 (create) and 1 expired; a.parquet unreferenced -> GC'd
+    assert s1.snapshot_id in res["expired_snapshots"]
+    assert not os.path.exists(a.path)
+    assert os.path.exists(b.path)
+    # current snapshot scan still intact
+    assert t.snapshot().total_rows == 10
+
+
+def test_expire_keeps_shared_files(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    a = _mk_file(t, "a.parquet")
+    t.commit("ingest", [a], timestamp=1000.0)
+    b = _mk_file(t, "b.parquet")
+    t.commit("append", [b], timestamp=2000.0)  # a still referenced by current
+    t.expire_snapshots(ttl_seconds=500.0, now=3000.0)
+    assert os.path.exists(a.path) and os.path.exists(b.path)
+    assert t.snapshot().total_rows == 20
+
+
+def test_gc_orphans(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    a = _mk_file(t, "a.parquet")
+    t.commit("ingest", [a])
+    orphan = os.path.join(t.data_dir, "failed-task-debris.parquet")
+    pa_table = pa.table({"x": [1]})
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_table, orphan)
+    removed = t.gc_orphans()
+    assert [os.path.basename(p) for p in removed] == ["failed-task-debris.parquet"]
+    assert os.path.exists(a.path)
+
+
+def test_job_log_resume(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    log = JobLog(t, "job1")
+    log.record("bin-0", ["i1"], [{"path": "o1", "rows": 1, "bytes": 1, "partition": None, "stats": {}}], rows=1)
+    log.record("bin-1", ["i2"], [{"path": "o2", "rows": 2, "bytes": 1, "partition": None, "stats": {}}], rows=2, state="failed", error="boom")
+    done = JobLog(t, "job1").committed()
+    assert set(done) == {"bin-0"}
+
+
+def test_scan_hides_internal_columns(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    tbl = pa.table({"url": ["u"], "__zkey": pa.array([1], pa.uint64())})
+    d = write_block(tbl, t.data_dir, "x", filename="z.parquet")
+    t.commit("ingest", [FileEntry.from_json(d)])
+    assert t.scan().schema().names == ["url"]

@@ -1,44 +1,472 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship maintenance pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md section 2 (plus the training-data operators); each takes
+``sf_dir`` and returns a Dataset / DataFrame / Arrow table.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (identical column names). Non-SQL-expressible
+pipelines (LSH dedup, langid, fingerprints, CSV inference, the
+end-to-end maintenance flagship) are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+def _pages_cte():
+    from engine.pages import PAGES_CTE
+
+    return PAGES_CTE
+
+
+def _tmp_root(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"graft-{tag}-")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Full maintenance pipeline (ingest -> sanitize -> MERGE -> compact ->
+    Z-order cluster) over sf0.001; returns the post-maintenance scan."""
+    from engine.config import EngineConfig
+    from engine.jobs import full_maintenance
+    from engine.manifest import Table
+    from engine.pages import read_pages
+
+    root = _tmp_root("entry")
+    cfg = EngineConfig(merge_buckets=8)
+    full_maintenance(
+        root,
+        read_pages("/root/testdata/sf0.001"),
+        cfg,
+        target_bytes=8 << 20,
+        rows_per_file=256,
+    )
+    return Table.load(root).scan(columns=["url", "text", "lang"])
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_sanitize_text(sf_dir: str):
+    import ray.data
+    from engine.sanitize import sanitize_array
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.set_column(1, "clean_text", sanitize_array(t.column("text"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_merge_lww(sf_dir: str):
+    from engine.merge import merge_datasets
+    from engine.pages import read_pages
+
+    merged = merge_datasets(read_pages(sf_dir, with_html=False), num_buckets=16)
+    return merged.select_columns(["url", "text", "lang"])
+
+
+def _maintained_scan(sf_dir: str, curve: str | None, do_compact: bool):
+    from engine.config import EngineConfig
+    from engine.jobs import cluster, compact, ingest
+    from engine.manifest import Table
+    from engine.pages import read_pages
+
+    root = _tmp_root(curve or "compact")
+    cfg = EngineConfig(cluster_curve=curve or "zorder")
+    t = Table.create(root)
+    # many deliberately undersized files so compaction has work (F5)
+    ingest(t, read_pages(sf_dir, with_html=False), cfg, sanitize_cols=(), rows_per_file=64)
+    if do_compact:
+        compact(t, cfg, target_bytes=8 << 20)
+    if curve:
+        cluster(t, cfg, rows_per_file=512)
+    return t.scan(columns=["url", "text", "lang"])
+
+
+def _q_compact_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, curve=None, do_compact=True)
+
+
+def _q_zorder_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, curve="zorder", do_compact=True)
+
+
+def _q_hilbert_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, curve="hilbert", do_compact=False)
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+    from engine.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    _, filtered = exact_dedup(ds)
+    return filtered.select_columns(["doc_id", "text"])
+
+
+def _load_queries_emb(sf_dir: str, n_q: int = 8):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    take = np.argsort(ids)[:n_q]
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").take(take).to_pylist()])
+    return q, ids[take]
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+    from engine.similarity import cosine_topk
+
+    q, qids = _load_queries_emb(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, q, qids, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_embed_dup_pairs(sf_dir: str):
+    import ray.data
+    from engine.similarity import cosine_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_dup_pairs(ds, threshold=0.35).select_columns(["id_a", "id_b"])
+
+
+def _q_token_stats(sf_dir: str):
+    import ray.data
+    from engine.textstats import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(["doc_id", "n_chars", "n_tokens", "n_words"])
+
+
+def _q_quality_ratios(sf_dir: str):
+    import ray.data
+    from engine.textstats import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(["doc_id", "alpha_ratio", "punct_ratio", "stop_ratio"])
+
+
+def _q_lang_counts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = ds.groupby("lang").count().to_pandas()
+    return out.rename(columns={"count()": "n"})
+
+
+def _q_top_langs(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.sort("count()", descending=True).limit(3).to_pandas().rename(columns={"count()": "n"})
+
+
+def _q_distinct_ratio(sf_dir: str):
+    """A5: first-column duplication ratio, exact at scale via groupby."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    distinct = len(ds.unique("lang"))
+    total = ds.count()
+    return pd.DataFrame({"distinct_ratio": [1.0 - distinct / total]})
+
+
+def _q_type_score(sf_dir: str):
+    """A3 partial+final: per-batch (matched, total) pairs -> driver ratio."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.infer import TYPE_PATTERNS
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells = t.column("text").to_pylist()
+        matched = sum(1 for c in cells if any(p.match((c or "").strip()) for p in TYPE_PATTERNS))
+        return pa.table({"matched": pa.array([matched], pa.int64()), "total": pa.array([len(cells)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({"type_score": [parts.matched.sum() / parts.total.sum()]})
+
+
+def _q_stats_minmax(sf_dir: str):
+    """A6: per-partition min/max stats as a queryable aggregate."""
+    from ray.data.aggregate import Count, Max, Min
+    from engine.pages import read_pages
+
+    pages = read_pages(sf_dir, with_html=False)
+    import pyarrow.compute as pc
+
+    nonnull = pages.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("url"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = nonnull.groupby("lang").aggregate(
+        Min("url", alias_name="url_min"), Max("url", alias_name="url_max"), Count(alias_name="n")
+    )
+    return out
+
+
+def _q_filter_nonempty(sf_dir: str):
+    """M2/M4: usable-row filter (non-null key, non-empty text)."""
+    import pyarrow.compute as pc
+    from engine.pages import read_pages
+
+    pages = read_pages(sf_dir, with_html=False)
+    return pages.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("url")), pc.not_equal(t.column("text"), ""))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["url", "lang"])
+
+
+# --- rows-only (non-SQL-expressible) --------------------------------------
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+    from engine.dedup import minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+    from engine.dedup import simhash_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dup_pairs(ds, max_hamming=8)
+
+
+def _q_lsh_embed_pairs(sf_dir: str):
+    import ray.data
+    from engine.similarity import lsh_bucketed_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_bucketed_pairs(ds, threshold=0.35, num_bits=6)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+    from engine.langid import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+    from engine.fingerprint import fingerprint_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint_stage(ds)
+
+
+def _q_html_extract(sf_dir: str):
+    from engine.multimodal import decode_html
+    from engine.pages import read_pages
+
+    return decode_html(read_pages(sf_dir)).select_columns(["url", "extracted_text", "decode_error"])
+
+
+def _q_csv_ingest(sf_dir: str):
+    """CSV-parity front-end over deterministic fixture files (F4)."""
+    from engine.csv_ingest import ingest_csv
+
+    d = tempfile.mkdtemp(prefix="graft-csv-")
+    with open(os.path.join(d, "a.csv"), "w") as f:
+        f.write("id;location;event_date;amount\n1;Lisbon;2023-10-01;100,5\n2;\"Paris; TX\";2023-10-02;200\n")
+    with open(os.path.join(d, "b.csv"), "w") as f:
+        f.write("Key,Value\nName,=1+1\nAge,30\nKey,Value\nName,Bob\nAge,25\n")
+    ds, _, _ = ingest_csv([os.path.join(d, "a.csv"), os.path.join(d, "b.csv")])
+    return ds
+
+
+def _q_maintenance_full(sf_dir: str):
+    from engine.config import EngineConfig
+    from engine.jobs import full_maintenance
+    from engine.manifest import Table
+    from engine.pages import read_pages
+
+    root = _tmp_root("flagship")
+    full_maintenance(
+        root, read_pages(sf_dir), EngineConfig(merge_buckets=16), target_bytes=8 << 20, rows_per_file=256
+    )
+    return Table.load(root).scan(columns=["url", "text", "lang"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "sanitize_text": _q_sanitize_text,
+        "merge_lww": _q_merge_lww,
+        "compact_scan": _q_compact_scan,
+        "zorder_scan": _q_zorder_scan,
+        "hilbert_scan": _q_hilbert_scan,
+        "exact_dedup": _q_exact_dedup,
+        "ann_topk": _q_ann_topk,
+        "embed_dup_pairs": _q_embed_dup_pairs,
+        "token_stats": _q_token_stats,
+        "quality_ratios": _q_quality_ratios,
+        "lang_counts": _q_lang_counts,
+        "top_langs": _q_top_langs,
+        "distinct_ratio": _q_distinct_ratio,
+        "type_score": _q_type_score,
+        "stats_minmax": _q_stats_minmax,
+        "filter_nonempty": _q_filter_nonempty,
+        # rows-only checks below
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_embed_pairs": _q_lsh_embed_pairs,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "html_extract": _q_html_extract,
+        "csv_ingest": _q_csv_ingest,
+        "maintenance_full": _q_maintenance_full,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.pages import PAGES_CTE
+    from engine.sanitize import PY_STR_WHITESPACE
+
+    ws = PY_STR_WHITESPACE.replace("'", "''")
+    trim = f"coalesce(trim(text, '{ws}'), '')"
+    sanitize = (
+        f"CASE WHEN {trim} = '' THEN '' "
+        f"WHEN left({trim}, 1) IN ('=', '+', '-', '@') THEN '''' || {trim} "
+        f"ELSE {trim} END"
+    )
+    merged_scan = (
+        PAGES_CTE
+        + """
+        , merged AS (
+          SELECT url,
+            coalesce(arg_max(text, warc_ts) FILTER (text IS NOT NULL AND text <> ''),
+                     arg_min(text, warc_ts)) AS text,
+            coalesce(arg_max(lang, warc_ts) FILTER (lang IS NOT NULL AND lang <> ''),
+                     arg_min(lang, warc_ts)) AS lang
+          FROM pages WHERE url IS NOT NULL AND url <> '' GROUP BY url)
+        SELECT url, text, lang FROM merged
+        UNION ALL
+        SELECT url, text, lang FROM pages WHERE url IS NULL OR url = ''
+        """
+    )
+    pages_scan = PAGES_CTE + "SELECT url, text, lang FROM pages"
+
+    n_tokens = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    n_words = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    n_alpha = "len(regexp_extract_all(text, '[A-Za-z]'))"
+    n_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    stopwords = "'the','of','and','a','to','in','is','you','that','it','he','was','for','on','are','as','with','his','they','at','be','this','have','from','or'"
+    n_stop = (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"x -> x IN ({stopwords})))"
+    )
+
+    type_patterns = [
+        r"^\s*$",
+        r"^-?\d+$",
+        r"^-?\d+[.,]\d+(e[+-]?\d+)?$",
+        r"^(http|https)://[^\s/$.?#].[^\s]*$",
+        r"^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+$",
+        r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2})?)?$",
+        r"^\d{1,2}[/-]\d{1,2}[/-]\d{2,4}$",
+        r"^[Nn]/?[Aa]$",
+        r"^[A-Za-z0-9\s\-_]+$",
+    ]
+    # DuckDB string literals are raw (no backslash escapes): only quotes
+    # need doubling.
+    type_match = " OR ".join(
+        "regexp_matches(trim(text), '" + p.replace("'", "''") + "')" for p in type_patterns
+    )
+
+    ann = """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM sims
+        )
+        SELECT query_id, vec_id FROM ranked WHERE rn <= 5
+        """
+
+    embed_pairs = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """
+
+    return {
+        "sanitize_text": f"SELECT doc_id, {sanitize} AS clean_text FROM documents",
+        "merge_lww": merged_scan,
+        "compact_scan": pages_scan,
+        "zorder_scan": pages_scan,
+        "hilbert_scan": pages_scan,
+        "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "ann_topk": ann,
+        "embed_dup_pairs": embed_pairs,
+        "token_stats": (
+            f"SELECT doc_id, length(text) AS n_chars, {n_tokens} AS n_tokens, "
+            f"{n_words} AS n_words FROM documents"
+        ),
+        "quality_ratios": (
+            "SELECT doc_id, "
+            f"CASE WHEN length(text) > 0 THEN {n_alpha} / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio, "
+            f"CASE WHEN length(text) > 0 THEN {n_punct} / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+            f"CASE WHEN {n_tokens} > 0 THEN {n_stop} / CAST({n_tokens} AS DOUBLE) ELSE 0.0 END AS stop_ratio "
+            "FROM documents"
+        ),
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC LIMIT 3",
+        "distinct_ratio": (
+            "SELECT 1.0 - count(DISTINCT lang) / CAST(count(*) AS DOUBLE) AS distinct_ratio FROM documents"
+        ),
+        "type_score": (
+            f"SELECT avg(CASE WHEN {type_match} THEN 1.0 ELSE 0.0 END) AS type_score FROM documents"
+        ),
+        "stats_minmax": (
+            PAGES_CTE
+            + "SELECT lang, min(url) AS url_min, max(url) AS url_max, count(*) AS n "
+            "FROM pages WHERE url IS NOT NULL GROUP BY lang"
+        ),
+        "filter_nonempty": (
+            PAGES_CTE + "SELECT url, lang FROM pages WHERE url IS NOT NULL AND text <> ''"
+        ),
+    }

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark: maintenance throughput (rows compacted+clustered/sec).
+
+Headline job = the full lakehouse maintenance pipeline (schema-evolving
+ingest with sanitization -> MERGE INTO by url (LWW warc_ts) -> bin-pack
+compaction -> Z-order clustering -> snapshot expire) over a pages table
+derived deterministically from ``$GRAFT_SF_DIR/documents.parquet`` and
+expanded ``BENCH_EXPAND``x (distinct doc_ids per replica, url space
+sized for ~4x url duplication) -- written untimed as 64 deliberately
+undersized input files so compaction has real work.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {stage/op: seconds}, "sf": ..., "num_cpus": N,
+   "rows": ..., "rows_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8
+and =32) and prints throughput at both + scaling efficiency
+(BASELINE.json north_rule: >=0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("BENCH_EXPAND", "40"))
+BENCH_URL_MOD = 65536
+
+
+def _build_input(work_dir: str) -> tuple[str, int]:
+    """Untimed setup: expanded pages table as 64 small parquet files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.pages import derive_pages_batch
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+    n = len(src)
+    tables = []
+    for rep in range(EXPAND):
+        t = src.set_column(
+            0, "doc_id", pa.array(src.column("doc_id").to_numpy() + rep * n, type=pa.int64())
+        )
+        tables.append(derive_pages_batch(t, url_mod=BENCH_URL_MOD))
+    full = pa.concat_tables(tables)
+    in_dir = os.path.join(work_dir, "input")
+    os.makedirs(in_dir, exist_ok=True)
+    rows = len(full)
+    per = (rows + 63) // 64
+    for i in range(64):
+        chunk = full.slice(i * per, per)
+        if len(chunk):
+            pq.write_table(chunk, os.path.join(in_dir, f"in-{i:03d}.parquet"), compression="zstd")
+    return in_dir, rows
+
+
+def run_headline() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    from engine.config import EngineConfig
+    from engine.jobs import cluster, compact, expire, ingest, merge_into
+    from engine.manifest import Table
+
+    work = f"/tmp/bench-{NUM_CPUS}-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir, rows = _build_input(work)
+    # warm OS page cache AND the Ray worker pool (untimed) so we measure
+    # compute+shuffle, not process startup: a full identity pass.
+    ray.data.read_parquet(in_dir).map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).count()
+
+    cfg = EngineConfig(
+        merge_buckets=max(32, 2 * NUM_CPUS),
+        target_file_bytes=128 * 1024 * 1024,
+    )
+    table = Table.create(os.path.join(work, "table"))
+    timings = {}
+    t_all = time.perf_counter()
+
+    t0 = time.perf_counter()
+    ingest(table, ray.data.read_parquet(in_dir), cfg)
+    timings["ingest"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    merge_into(table, cfg)
+    timings["merge"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    compact(table, cfg, target_bytes=64 * 1024 * 1024)
+    timings["compact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cluster(table, cfg)
+    timings["cluster"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    expire(table, EngineConfig(snapshot_ttl_seconds=0.0))
+    timings["expire"] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_all
+
+    # a couple of operator benches over the raw sf tables (small)
+    t0 = time.perf_counter()
+    from engine.dedup import minhash_dedup_pairs
+
+    minhash_dedup_pairs(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.5,
+    ).count()
+    timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from engine.similarity import cosine_topk
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(v, float) for v in emb.column("embedding").to_pylist()[:8]])
+    qids = emb.column("vec_id").to_pylist()[:8]
+    cosine_topk(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        q, qids, k=5,
+    ).count()
+    timings["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "maintenance rows compacted+clustered per sec (ingest+merge+compact+cluster+expire)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "rows_per_sec": round(rows / total, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo, tp_hi = lo["rows_per_sec"], hi["rows_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency N=8 -> 4N=32 CPUs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "rows_per_sec_8": tp_lo,
+        "rows_per_sec_32": tp_hi,
+        "rows": hi["rows"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_headline()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -1,0 +1,386 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five families (prompt-mandated first-class components):
+
+- :func:`exact_dedup`          hash-partition + per-group first
+- :func:`minhash_dedup_pairs`  shingle -> minhash -> banded LSH -> verify
+- :func:`simhash_signatures` / :func:`simhash_dup_pairs`  64-bit simhash,
+  band-bucketed Hamming candidates
+- :func:`jaccard_ngrams`       n-gram Jaccard verification kernel
+- embedding-cosine near-dup lives in :mod:`engine.similarity`
+
+All hashing is deterministic (crc32 + fixed multiply-shift mixers, no
+process-seeded randomness), so results are reproducible across runs and
+workers -- a requirement for resumable jobs.
+
+Scale notes: the LSH pipelines shuffle only ``(band, hash, doc_id)``
+triples (16-24 bytes/row x bands), never the documents themselves; the
+verify stage re-reads text for the *candidate pairs only*. At testdata
+scale the verify side is broadcast (``ray.put`` of an id->text dict);
+at 100 TB you'd swap the broadcast for a hash-partitioned join of
+candidates against the corpus on doc_id -- the operator signatures keep
+that seam explicit (``texts_ref``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_TOKEN_RE = re.compile(r"\S+")
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _crc32_array(strings: Iterable[str]) -> np.ndarray:
+    """Deterministic 32-bit content hash per string (C-speed crc32)."""
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in strings), dtype=np.uint64
+    )
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer -- spreads crc32 values over 64 bits."""
+    h = h.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a 64-bit content hash column (vectorized-per-batch crc32+mix)."""
+    texts = batch.column(text_col).to_pandas().fillna("")
+    h = _mix64(_crc32_array(texts))
+    return batch.append_column("__chash", pa.array(h, type=pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct content hash: hash-partition
+    (groupby shuffle of the small projected columns) + per-group first.
+
+    Shuffles only ``(hash, id)`` -- survivors are selected by a
+    broadcast-able id set; callers filter the full dataset with it.
+    Returns ``(survivor_id_dataset, filtered_dataset)``.
+    """
+    hashed = ds.map_batches(
+        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col},
+    )
+    winners = (
+        hashed.select_columns(["__chash", id_col])
+        .groupby("__chash")
+        .min(id_col)
+    )  # columns: __chash, min(id_col)
+    keep_ids = set(r[f"min({id_col})"] for r in winners.take_all())
+    keep_ref = ray.put(keep_ids)
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.fromiter(ray.get(keep_ref), dtype=ids.dtype)
+        return t.filter(pa.array(np.isin(ids, keep)))
+
+    return winners, ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: str, k: int = 3) -> List[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _perm_params(num_perm: int) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)  # fixed: determinism across workers
+    a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) signature = min over shingles of (a*h + b) mod p."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), int(_MERSENNE), dtype=np.uint64)
+    prod = (a[:, None] * shingle_hashes[None, :] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor
+    (reference pattern T3: load-once worker state)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params(num_perm)
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = np.stack(
+            [
+                minhash_signature(_mix64(_crc32_array(word_shingles(t or "", self.k))), self.a, self.b)
+                for t in texts
+            ]
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "signature": pa.array(list(sigs), type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+def _band_rows(sig_table: pa.Table, bands: int, id_col: str) -> pa.Table:
+    """Explode signatures into (band_id, band_hash, doc_id) rows."""
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_table.column("signature").to_pylist()])
+    ids = np.asarray(sig_table.column(id_col).to_pylist())
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    out_band, out_hash, out_id = [], [], []
+    for bidx in range(bands):
+        chunk = sigs[:, bidx * r : (bidx + 1) * r]
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(r):
+            h = _mix64(h ^ chunk[:, j])
+        out_band.append(np.full(n, bidx, dtype=np.int32))
+        out_hash.append(h)
+        out_id.append(ids)
+    return pa.table(
+        {
+            "band_id": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash), type=pa.uint64()),
+            id_col: pa.array(np.concatenate(out_id)),
+        }
+    )
+
+
+def jaccard_ngrams(a: str, b: str, n: int = 3, char: bool = False) -> float:
+    """n-gram Jaccard similarity (verification kernel; also standalone)."""
+    if char:
+        ga = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+        gb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    else:
+        ga, gb = set(word_shingles(a, n)), set(word_shingles(b, n))
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)
+
+
+def minhash_dedup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    concurrency=None,
+):
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    Stages: minhash (actor pool) -> band explode -> groupby(band) ->
+    candidate pairs -> verify true Jaccard >= threshold (broadcast
+    texts; swap for a partitioned join at corpus scale).
+    Returns a Dataset of ``(id_a, id_b, jaccard)`` with id_a < id_b.
+    """
+    sigs = ds.map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "shingle_k": shingle_k,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        concurrency=concurrency or 2,
+    )
+    banded = sigs.map_batches(
+        _band_rows,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"bands": bands, "id_col": id_col},
+    )
+
+    # coarse-bucket the band rows so the shuffle produces ~num_buckets
+    # groups (ONE vectorized fold per bucket), not one Python call per
+    # distinct (band, hash) -- that would be O(corpus) tiny groups.
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # keep only (band, hash) cells with >=2 members, then enumerate
+        # pairs per cell (Python only over actual collision cells)
+        sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
+        dup = df[sizes >= 2]
+        out_a, out_b = [], []
+        for _, g in dup.groupby(["band_id", "band_hash"]):
+            ids = sorted(g[id_col].tolist())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+
+    candidates = (
+        banded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_pairs(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    # distinct candidate pairs (a pair can fire in many bands)
+    cand_df = candidates.to_pandas().drop_duplicates()
+
+    # verify stage: true Jaccard on the candidate pairs only
+    texts = dict(
+        zip(
+            ds.select_columns([id_col, text_col]).to_pandas()[id_col],
+            ds.select_columns([id_col, text_col]).to_pandas()[text_col],
+        )
+    )
+    texts_ref = ray.put(texts)
+
+    if cand_df.empty:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    cand_ds = ray.data.from_pandas(cand_df.reset_index(drop=True))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(texts_ref)
+        jac = [
+            jaccard_ngrams(lookup.get(a, "") or "", lookup.get(b, "") or "", shingle_k)
+            for a, b in zip(df["id_a"], df["id_b"])
+        ]
+        df = df.assign(jaccard=jac)
+        return df[df.jaccard >= threshold]
+
+    return cand_ds.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    h = _mix64(_crc32_array(toks))  # (n,) uint64
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    return pa.table({id_col: batch.column(id_col), "simhash": pa.array(sigs, type=pa.uint64())})
+
+
+def simhash_signatures(ds, text_col="text", id_col="doc_id"):
+    return ds.map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    4 bands x 16 bits: any pair within Hamming 3 must agree exactly on
+    at least one band (pigeonhole), so per-band exact-match bucketing
+    finds all such pairs; verification computes the true distance.
+    """
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bands_out, keys = [], []
+        for bidx in range(4):
+            chunk = (s >> np.uint64(16 * bidx)) & np.uint64(0xFFFF)
+            bands_out.append(np.full(len(s), bidx, dtype=np.int32))
+            keys.append(chunk)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bands_out)),
+                "band_key": pa.array(np.concatenate(keys), type=pa.uint64()),
+                id_col: pa.array(np.tile(doc_ids, 4)),
+                "simhash": pa.array(np.tile(s, 4), type=pa.uint64()),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("band_key").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((k % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs only within exact (band_id, band_key) collision cells
+        sizes = df.groupby(["band_id", "band_key"])[id_col].transform("size")
+        dup = df[sizes >= 2]
+        out = []
+        for _, g in dup.groupby(["band_id", "band_key"]):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sh = g["simhash"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = hamming64(sh[ia].astype(np.uint64), sh[ib].astype(np.uint64))
+            keep = ham <= max_hamming
+            out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_pairs(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    out = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+    if out.empty:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
+    return ray.data.from_pandas(out)

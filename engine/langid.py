@@ -1,0 +1,89 @@
+"""Language identification heuristic (n-gram/stopword + script ranges).
+
+Deterministic, self-contained (no external models -- the profiles below
+are small hard-coded stopword/function-word lists, public knowledge).
+Script detection handles the non-Latin cases (CJK, Cyrillic, Arabic,
+kana); Latin-script languages are scored by function-word hit rate.
+
+Output: ``lang_pred`` (ISO-ish code or 'und') + ``lang_conf`` in [0,1].
+This is an actor-pool stage: profiles and regexes are built once per
+actor (reference pattern T3, ``security.py:11-26``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+PROFILES = {
+    "en": "the of and to a in is you that it for on are with as at be this have from or by one had not but what all were".split(),
+    "es": "de la que el en y a los se del las un por con no una su para es al lo como mas pero sus le ya o".split(),
+    "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein eine als auch es an werden aus er".split(),
+    "fr": "de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont".split(),
+    "pt": "de a o que e do da em um para com nao uma os no se na por mais as dos como mas foi ao ele".split(),
+    "it": "di e il la che in a per un del con non una le si dei sono come dalla lo alla piu o anche ha".split(),
+    "nl": "de van het een en in is dat op te zijn met voor niet aan er ook als bij maar om uit nog door".split(),
+}
+
+_SCRIPT_RANGES = [
+    ("zh", re.compile(r"[一-鿿㐀-䶿]")),
+    ("ja", re.compile(r"[぀-ヿ]")),  # kana (checked before zh han-only)
+    ("ko", re.compile(r"[가-힯]")),
+    ("ru", re.compile(r"[Ѐ-ӿ]")),
+    ("ar", re.compile(r"[؀-ۿ]")),
+    ("el", re.compile(r"[Ͱ-Ͽ]")),
+]
+
+_TOKEN = re.compile(r"[a-zà-ÿäöüßñç]+")
+
+
+class LangId:
+    """map_batches callable class: one profile build per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {lang: frozenset(words) for lang, words in PROFILES.items()}
+        self.scripts = _SCRIPT_RANGES
+        self.token = _TOKEN
+
+    def classify(self, text: str):
+        if not text:
+            return "und", 0.0
+        # script-range vote first (non-Latin scripts)
+        n = min(len(text), 4000)
+        sample = text[:n]
+        for lang, rx in self.scripts:
+            hits = len(rx.findall(sample))
+            if hits / max(1, n) > 0.05:
+                return lang, min(1.0, hits / max(1, n) * 4)
+        toks = self.token.findall(sample.lower())
+        if not toks:
+            return "und", 0.0
+        best, best_hits = "und", 0
+        for lang, words in self.profiles.items():
+            hits = sum(1 for t in toks if t in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        if best_hits == 0:
+            return "und", 0.0
+        return best, min(1.0, best_hits / len(toks) * 2)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = [self.classify(t or "") for t in batch[self.text_col]]
+        batch = batch.assign(
+            lang_pred=[p[0] for p in preds],
+            lang_conf=np.round([p[1] for p in preds], 6),
+        )
+        return batch
+
+
+def lang_id(ds, text_col: str = "text", concurrency=2, batch_size: int = 4096):
+    return ds.map_batches(
+        LangId,
+        batch_format="pandas",
+        fn_constructor_kwargs={"text_col": text_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -15,16 +15,17 @@ Equivalently, per key and per column::
     result[col] = value-at-max-ts among rows where col is non-empty,
                   else value-at-min-ts  (the anchor's value, possibly empty)
 
-Execution (Ray-Data-first):
+Execution (Ray-Data-first, single pass over the input):
 
-1. split NULL/empty-key rows into a passthrough branch (no shuffle),
-2. add ``__bucket = hash64(key) % B`` vectorized in ``map_batches``
+1. add ``__bucket = hash64(key) % B`` vectorized in ``map_batches``
    (B ~ 2-4x cluster cores; at 10^12 rows B is thousands -- each bucket
    must fit one worker's heap, which is the documented partitioning
-   assumption of this operator),
-3. ``groupby("__bucket").map_groups(fold)`` -- ONE vectorized pandas fold
-   per bucket (C-speed groupby inside), NOT one Python call per key,
-4. union the passthrough branch back.
+   assumption of this operator); NULL/empty-key passthrough rows are
+   spread round-robin across buckets instead of being split into a
+   second branch, which would re-scan the input,
+2. ``groupby("__bucket").map_groups(fold)`` -- ONE vectorized pandas fold
+   per bucket (C-speed groupby inside), NOT one Python call per key;
+   the fold passes NULL-key rows through unmerged.
 
 Skew: the key is ``url`` (high cardinality), so bucket skew is
 statistical, not semantic; hot buckets are bounded by raising B
@@ -50,8 +51,14 @@ def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
 
 
 def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    """hash(key) % B for mergeable rows; NULL/empty keys (passthrough
+    rows) are spread round-robin so no bucket becomes a null hotspot."""
     keys = batch.column(key).to_pandas()
-    return batch.append_column("__bucket", pa.array(_bucket_of(keys, num_buckets)))
+    buckets = _bucket_of(keys.fillna(""), num_buckets)
+    missing = keys.isna().to_numpy() | (keys == "").to_numpy()
+    if missing.any():
+        buckets[missing] = np.arange(missing.sum()) % num_buckets
+    return batch.append_column("__bucket", pa.array(buckets))
 
 
 def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
@@ -89,17 +96,13 @@ def merge_datasets(
 ):
     """MERGE INTO over a Dataset: one surviving row per non-null key,
     NULL/empty-key rows passed through unmerged. Output is unordered
-    (row-set semantics, SURVEY 2.6 O3)."""
+    (row-set semantics, SURVEY 2.6 O3).
 
-    def keep_missing(t: pa.Table) -> pa.Table:
-        return t.filter(_is_missing_key(t.column(key)))
-
-    def keep_present(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(_is_missing_key(t.column(key))))
-
-    passthrough = ds.map_batches(keep_missing, batch_format="pyarrow", zero_copy_batch=True)
-    keyed = ds.map_batches(keep_present, batch_format="pyarrow", zero_copy_batch=True)
-    keyed = keyed.map_batches(
+    Single-pass: NULL/empty-key rows are NOT split into a second branch
+    (that would re-scan the input); they ride the same shuffle spread
+    round-robin over buckets and the per-bucket fold passes them
+    through untouched."""
+    keyed = ds.map_batches(
         _add_bucket,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -108,7 +111,10 @@ def merge_datasets(
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
-        return merge_fold(df, key, ts)
+        null_mask = df[key].isna() | (df[key] == "")
+        merged = merge_fold(df[~null_mask], key, ts)
+        if null_mask.any():
+            merged = pd.concat([merged, df[null_mask]], ignore_index=True)
+        return merged
 
-    merged = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
-    return merged.union(passthrough)
+    return keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")

@@ -60,13 +60,19 @@ WITH pages AS (
 """
 
 
-def derive_pages_batch(batch: pa.Table, with_html: bool = True) -> pa.Table:
-    """Vectorized documents -> pages derivation (map_batches body)."""
+def derive_pages_batch(
+    batch: pa.Table, with_html: bool = True, url_mod: int = URL_MOD
+) -> pa.Table:
+    """Vectorized documents -> pages derivation (map_batches body).
+
+    ``url_mod`` sizes the url space (bench uses a larger modulus so
+    duplication stays ~4x at expanded row counts).
+    """
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
     text = batch.column("text")
     lang = batch.column("lang")
 
-    mod = (doc_id % URL_MOD).astype(np.int64)
+    mod = (doc_id % url_mod).astype(np.int64)
     url = pc.binary_join_element_wise(
         pa.array(np.full(len(doc_id), "https://example.com/p/"), type=pa.string()),
         pc.cast(pa.array(mod), pa.string()),

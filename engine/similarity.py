@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`cosine_topk`      brute-force top-k: the query matrix is
+  broadcast ONCE (``ray.put``), every batch does one numpy matmul and
+  emits only its per-batch top-k partials; a tiny final reduce picks the
+  global top-k. No shuffle of the corpus.
+- :func:`cosine_dup_pairs` all-pairs near-dup at threshold tau --
+  broadcast variant (corpus matrix broadcast; fine to ~10^5 rows) and
+  the scale path :func:`lsh_bucketed_pairs` (random-hyperplane
+  signatures -> bucket groupby -> in-bucket matmul), which only ever
+  materializes per-bucket blocks.
+
+Everything is float64 numpy so results are bit-stable against a DuckDB
+oracle computing ``list_cosine_similarity`` on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Global top-k cosine neighbors for each query vector.
+
+    Returns a Dataset of ``(query_id, vec_id, score)`` rows, exactly k
+    per query (fewer if the corpus is small). Partial top-k per batch ->
+    groupby(query) final top-k: the reduce input is q x k x num_batches
+    rows, independent of corpus size.
+    """
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    qref = ray.put((q, qids))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm, qi = ray.get(qref)
+        x = _normalize(_stack(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        s = x @ qm.T  # (n, q)
+        kk = min(k, s.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            col = s[:, j]
+            if exclude_self:
+                mask = ids != qi[j]
+                cand = np.flatnonzero(mask)
+            else:
+                cand = np.arange(len(ids))
+            if len(cand) == 0:
+                continue
+            top = cand[np.argsort(-col[cand], kind="stable")[:kk]]
+            out_q.append(np.full(len(top), qi[j]))
+            out_id.append(ids[top])
+            out_s.append(col[top])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """All pairs with cosine >= threshold (id_a < id_b).
+
+    Broadcast variant: the full normalized corpus (id-sorted) is put in
+    the object store once; each batch matmuls against it and keeps only
+    pairs where the batch id < corpus id (dedup without a shuffle).
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    corpus_ids = full[id_col].to_numpy()
+    corpus = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    cref = ray.put((corpus_ids, corpus))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(cref)
+        x = _normalize(_stack(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        s = x @ cmat.T  # (n, N)
+        ii, jj = np.nonzero(s >= threshold)
+        a, b = ids[ii], cids[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "cosine": pa.array(s[ii, jj][keep], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hyperplane_signatures(vectors: np.ndarray, num_bits: int = 16, seed: int = 42) -> np.ndarray:
+    """Random-hyperplane LSH signature (deterministic seed)."""
+    d = vectors.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, num_bits))
+    bits = (vectors @ planes) > 0
+    weights = (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))[None, :]
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
+def lsh_bucketed_pairs(
+    ds,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Scale path for near-dup: signature -> groupby(bucket) ->
+    in-bucket exact cosine. Recall < 1 by construction (pairs split
+    across buckets are missed); raise recall by unioning several
+    signature seeds. Never materializes more than one bucket per task.
+    """
+
+    def sign(t: pa.Table) -> pa.Table:
+        x = _normalize(_stack(t.column(vec_col)))
+        sig = hyperplane_signatures(x, num_bits)
+        return t.append_column("__bucket", pa.array(sig, type=pa.uint64()))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        x = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        s = x @ x.T
+        ii, jj = np.nonzero(np.triu(s >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": s[ii, jj]})
+
+    return (
+        ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

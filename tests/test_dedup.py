@@ -1,0 +1,100 @@
+"""Dedup operators: exact, MinHash-LSH (planted near-dups), SimHash,
+n-gram Jaccard."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from engine.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_ngrams,
+    minhash_dedup_pairs,
+    minhash_signature,
+    simhash64,
+    simhash_dup_pairs,
+    word_shingles,
+    _crc32_array,
+    _mix64,
+    _perm_params,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs():
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("warm", "cold")),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and arrow batches"),
+        (4, "yet another unrelated document mentioning lakehouse manifests and snapshots"),
+        (5, BASE + " with a small suffix appended"),  # near dup
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    winners, filtered = exact_dedup(ray.data.from_arrow(_docs()))
+    kept = sorted(filtered.to_pandas()["doc_id"])
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 (exact dup of 0) dropped
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    a, b = _perm_params(128)
+    s1 = minhash_signature(_mix64(_crc32_array(word_shingles(BASE))), a, b)
+    s2 = minhash_signature(_mix64(_crc32_array(word_shingles(BASE.replace("warm", "cold")))), a, b)
+    s3 = minhash_signature(_mix64(_crc32_array(word_shingles("nothing in common at all here"))), a, b)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    true_j = jaccard_ngrams(BASE, BASE.replace("warm", "cold"), 3)
+    assert abs(sim12 - true_j) < 0.15
+    assert sim13 < 0.1 < sim12
+
+
+def test_minhash_lsh_finds_planted_pairs(ray_session):
+    pairs = minhash_dedup_pairs(
+        ray.data.from_arrow(_docs()), threshold=0.5, num_perm=128, bands=32
+    ).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found and (1, 2) in found  # near dup
+    assert (0, 5) in found
+    assert not any(3 in p or 4 in p for p in found)  # unrelated docs clean
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_hamming_properties():
+    h1 = simhash64(BASE)
+    h2 = simhash64(BASE.replace("warm", "cold"))
+    h3 = simhash64("totally different words everywhere nothing shared whatsoever")
+    d12 = hamming64(np.array([h1], np.uint64), np.array([h2], np.uint64))[0]
+    d13 = hamming64(np.array([h1], np.uint64), np.array([h3], np.uint64))[0]
+    assert simhash64(BASE) == h1  # deterministic
+    assert d12 < d13
+    assert hamming64(np.array([h1], np.uint64), np.array([h1], np.uint64))[0] == 0
+
+
+def test_simhash_dup_pairs_finds_exact(ray_session):
+    out = simhash_dup_pairs(ray.data.from_arrow(_docs()), max_hamming=3).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in found
+    assert all(h <= 3 for h in out.hamming)
+
+
+def test_jaccard_ngrams_bounds():
+    assert jaccard_ngrams("a b c d", "a b c d", 2) == 1.0
+    assert jaccard_ngrams("a b c", "x y z", 2) == 0.0
+    assert jaccard_ngrams("", "", 3) == 1.0
+    assert 0.0 < jaccard_ngrams("a b c d e", "a b c d x", 2) < 1.0
+    # char mode
+    assert jaccard_ngrams("abcd", "abcd", 2, char=True) == 1.0

@@ -67,10 +67,11 @@ def test_full_maintenance_scan_equality(tmp_table_root, sf_dir, ray_session):
 def test_merge_is_idempotent(tmp_table_root, ray_session):
     t = Table.create(tmp_table_root)
     ingest(t, ray.data.from_arrow(synth_pages_table(600)), CFG, sanitize_cols=())
+    sort_cols = ["url", "warc_ts", "text", "lang"]
     r1 = merge_into(t, CFG)
-    before = t.scan().to_pandas().sort_values(["url", "text"], na_position="first")
+    before = t.scan().to_pandas().sort_values(sort_cols, na_position="first")
     r2 = merge_into(t, CFG)
-    after = t.scan().to_pandas().sort_values(["url", "text"], na_position="first")
+    after = t.scan().to_pandas().sort_values(sort_cols, na_position="first")
     # second merge only re-collapses null-url passthrough rows: row set equal
     pd.testing.assert_frame_equal(before.reset_index(drop=True), after.reset_index(drop=True))
 

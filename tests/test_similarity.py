@@ -1,0 +1,79 @@
+"""Similarity search: brute-force cosine top-k vs numpy oracle, near-dup
+pairs, LSH-bucketed variant recall."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from engine.similarity import (
+    cosine_dup_pairs,
+    cosine_topk,
+    hyperplane_signatures,
+    lsh_bucketed_pairs,
+    _normalize,
+)
+
+
+def _emb_table(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    # plant near-dups: vec 1 ~ vec 0, vec 11 ~ vec 10
+    m[1] = m[0] + 0.01 * rng.standard_normal(d)
+    m[11] = m[10] + 0.01 * rng.standard_normal(d)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, row)) for row in m], pa.list_(pa.float32())),
+        }
+    )
+    return t, m.astype(np.float32).astype(np.float64)
+
+
+def test_cosine_topk_matches_numpy_oracle(ray_session):
+    t, m = _emb_table()
+    q_ids = [0, 10, 42]
+    q = m[q_ids]
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = cosine_topk(ds, q, q_ids, k=5).to_pandas()
+    mn = _normalize(m)
+    qn = _normalize(q)
+    sims = mn @ qn.T
+    for j, qid in enumerate(q_ids):
+        col = sims[:, j].copy()
+        col[qid] = -np.inf  # exclude self
+        exp = set(np.argsort(-col, kind="stable")[:5])
+        got = set(out[out.query_id == qid]["vec_id"])
+        assert got == exp, (qid, got, exp)
+        assert len(out[out.query_id == qid]) == 5
+
+
+def test_cosine_topk_scores_are_float64_exact(ray_session):
+    t, m = _emb_table(50)
+    out = cosine_topk(ray.data.from_arrow(t), m[[3]], [3], k=3).to_pandas()
+    mn = _normalize(m)
+    exp = np.sort((mn @ _normalize(m[[3]]).T)[:, 0])[-2]  # best non-self
+    assert abs(out.score.max() - exp) < 1e-12
+
+
+def test_cosine_dup_pairs_finds_planted(ray_session):
+    t, _ = _emb_table()
+    pairs = cosine_dup_pairs(ray.data.from_arrow(t).repartition(3), threshold=0.99).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found and (10, 11) in found
+    assert (pairs.cosine >= 0.99).all()
+    # no self pairs, canonical ordering
+    assert (pairs.id_a < pairs.id_b).all()
+
+
+def test_lsh_bucketed_finds_planted_pairs(ray_session):
+    t, _ = _emb_table()
+    pairs = lsh_bucketed_pairs(ray.data.from_arrow(t), threshold=0.99, num_bits=8).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # near-identical vectors share all hyperplane signs with high prob.
+    assert (0, 1) in found and (10, 11) in found
+
+
+def test_hyperplane_signatures_deterministic():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((10, 8))
+    assert (hyperplane_signatures(v, 12) == hyperplane_signatures(v, 12)).all()

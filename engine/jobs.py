@@ -73,6 +73,25 @@ def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Datas
 # jobs
 # ---------------------------------------------------------------------------
 
+def _shuffle_blocks(table: Table) -> int:
+    """Block/partition count for shuffle stages, from manifest bytes.
+
+    ~32 MB of (compressed) file bytes per block keeps the exchange from
+    degenerating into O(blocks x partitions) minuscule objects where it
+    becomes scheduling-bound (an all-to-all moves blocks^2 objects
+    through the raylet -- in local mode ONE raylet coordinates all of
+    them, so keep blocks near the core count, not above it). Bounded at
+    4096 (at 10^12 rows raise DataContext.target_max_block_size instead
+    of block count).
+    """
+    import ray
+
+    total_bytes = sum(f.bytes for f in table.live_files())
+    by_bytes = total_bytes // (32 << 20) + 1
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(4096, max(by_bytes, min(64, cpus), 8)))
+
+
 def ingest(
     table: Table,
     source,
@@ -115,7 +134,9 @@ def merge_into(
     ds = table.scan()
     if source is not None:
         ds = ds.union(source)
-    merged = merge_datasets(ds, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=cfg.merge_buckets)
+    blocks = _shuffle_blocks(table)
+    ds = ds.repartition(blocks)
+    merged = merge_datasets(ds, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks)
     entries = write_files(
         merged, table.data_dir, prefix=f"merge-{job_id}", stats_cols=cfg.stats_cols
     )
@@ -153,7 +174,8 @@ def cluster(
     job_id = job_id or uuid.uuid4().hex[:8]
     ds = table.scan()
     codes = collect_lang_codes(ds)
-    clustered = cluster_dataset(table.scan(), codes, curve=cfg.cluster_curve)
+    blocks = _shuffle_blocks(table)
+    clustered = cluster_dataset(table.scan().repartition(blocks), codes, curve=cfg.cluster_curve)
     entries = write_files(
         clustered,
         table.data_dir,

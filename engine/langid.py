@@ -79,7 +79,23 @@ class LangId:
         return batch
 
 
-def lang_id(ds, text_col: str = "text", concurrency=2, batch_size: int = 4096):
+_PROC_CACHE: dict = {}
+
+
+def _langid_fn(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    li = _PROC_CACHE.get(text_col)
+    if li is None:
+        li = _PROC_CACHE[text_col] = LangId(text_col)
+    return li(batch)
+
+
+def lang_id(ds, text_col: str = "text", concurrency=None, batch_size: int = 4096):
+    """concurrency=None -> elastic tasks with per-process cached
+    profiles; an int/tuple -> fixed actor pool."""
+    if concurrency is None:
+        return ds.map_batches(
+            _langid_fn, batch_format="pandas", fn_kwargs={"text_col": text_col}, batch_size=batch_size
+        )
     return ds.map_batches(
         LangId,
         batch_format="pandas",

@@ -92,7 +92,29 @@ def quality_score(n_tokens, alpha_ratio, punct_ratio, stop_ratio) -> np.ndarray:
     )
 
 
-def text_stats(ds, text_col: str = "text", concurrency=2, batch_size: int = 4096):
+_PROC_CACHE: dict = {}
+
+
+def _stats_fn(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Task-based variant: state built once per worker process (module
+    cache) -- elastic like tasks, amortized like an actor."""
+    st = _PROC_CACHE.get(text_col)
+    if st is None:
+        st = _PROC_CACHE[text_col] = TextStats(text_col)
+    return st(batch)
+
+
+def text_stats(ds, text_col: str = "text", concurrency=None, batch_size: int = 4096):
+    """concurrency=None -> elastic stateless tasks with per-process
+    cached state; an int/tuple -> a fixed actor pool (use when setup is
+    genuinely heavy, e.g. model loads)."""
+    if concurrency is None:
+        return ds.map_batches(
+            _stats_fn,
+            batch_format="pandas",
+            fn_kwargs={"text_col": text_col},
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         TextStats,
         batch_format="pandas",

@@ -244,6 +244,81 @@ def _q_filter_nonempty(sf_dir: str):
     ).select_columns(["url", "lang"])
 
 
+def _q_events_by_type(sf_dir: str):
+    """Grouped sum+count with per-batch combiner (A-ops at 60k+ rows)."""
+    import ray.data
+    from engine.aggregates import grouped_sum_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_sum_count(ds, "event_type", "value")
+    out["sum_value"] = out["sum_value"].round(2)  # float-sum order differs
+    return out[["event_type", "sum_value", "n"]]
+
+
+def _q_broadcast_join(sf_dir: str):
+    """J1 broadcast-small-side join: events x customer, count + sum per
+    market segment (no shuffle of the fact table)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+    from engine.lookup import broadcast_join
+
+    dim = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    facts = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    joined = broadcast_join(facts, dim, left_on="user_id", right_on="c_custkey")
+    from engine.aggregates import grouped_sum_count
+
+    out = grouped_sum_count(joined, "c_mktsegment", "value")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["c_mktsegment", "sum_value", "n"]]
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """Vectorized arithmetic + grouped aggregate over the largest table
+    (TPC-H Q1 shape; exercises Arrow compute + the aggregate shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Count(alias_name="n"),
+        )
+    )
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    return df
+
+
+def _q_salted_lang_counts(sf_dir: str):
+    """Skew-aware grouped count: dominant langs salted into sub-buckets
+    (north_rule skew handling), partials re-merged."""
+    import ray.data
+    from engine.skew import salted_group_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out, _heavy = salted_group_count(ds, "lang", threshold_rows=100, salt_buckets=4)
+    return out
+
+
 # --- rows-only (non-SQL-expressible) --------------------------------------
 
 def _q_minhash_pairs(sf_dir: str):
@@ -337,6 +412,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_score": _q_type_score,
         "stats_minmax": _q_stats_minmax,
         "filter_nonempty": _q_filter_nonempty,
+        "events_by_type": _q_events_by_type,
+        "broadcast_join": _q_broadcast_join,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "salted_lang_counts": _q_salted_lang_counts,
         # rows-only checks below
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -469,4 +548,19 @@ def oracle_sql() -> dict[str, str]:
         "filter_nonempty": (
             PAGES_CTE + "SELECT url, lang FROM pages WHERE url IS NOT NULL AND text <> ''"
         ),
+        "events_by_type": (
+            "SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "broadcast_join": (
+            "SELECT c.c_mktsegment, round(sum(e.value), 2) AS sum_value, count(*) AS n "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue, count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     }

@@ -1,0 +1,76 @@
+"""Partial+final aggregation combinators (A2/A3/A4, SURVEY 2.5) and the
+distributed versions of the reference's sample aggregates.
+
+The pattern: ``map_batches`` emits one tiny partial row per batch
+(counts, counters, (matched, total) pairs), a ``groupby``/driver step
+folds the partials. Rows shuffled = O(batches), not O(rows).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from engine.infer import ALPHA
+
+
+def pattern_score_distributed(ds, width_col: str) -> float:
+    """A2 at scale: P = (1/K) * sum_k N_k * max(alpha, L_k-1)/L_k over
+    the global row-width histogram, computed as per-batch Counters ->
+    groupby(width).sum (the histogram is tiny: K distinct widths)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        widths = t.column(width_col).to_pylist()
+        c = Counter(widths)
+        return pa.table(
+            {
+                "width": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("width")
+        .sum("n")
+        .to_pandas()
+    )
+    if hist.empty:
+        return 0.0
+    score = sum(
+        row["sum(n)"] * (max(ALPHA, row["width"] - 1) / row["width"])
+        for _, row in hist.iterrows()
+        if row["width"]
+    )
+    return score / len(hist)
+
+
+def ratio_distributed(ds, num_col: str, den_col: str) -> float:
+    """A3-shape: global ratio from per-batch (numerator, denominator)
+    partials -- classic partial+final."""
+    parts = ds.to_pandas()
+    den = parts[den_col].sum()
+    return float(parts[num_col].sum() / den) if den else 0.0
+
+
+def grouped_sum_count(ds, key: str, value_col: str):
+    """Pre-aggregated grouped sum+count: per-batch pandas groupby emits
+    one partial row per key per batch; the exchange then moves partials
+    only (combiner before shuffle, SURVEY 4.2)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False)[value_col].agg(["sum", "count"])
+        g.columns = [key, "__psum", "__pcount"]
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby(key)
+        .sum(["__psum", "__pcount"])
+        .to_pandas()
+        .rename(columns={"sum(__psum)": "sum_value", "sum(__pcount)": "n"})
+    )
+    out["n"] = out["n"].astype("int64")
+    return out

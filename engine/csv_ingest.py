@@ -115,6 +115,33 @@ def records_to_arrow(records: List[Dict], fields: List[str]) -> pa.Table:
     return pa.table({f: pa.array(cols[f], type=pa.string()) for f in fields})
 
 
+DEFAULT_MAX_BYTES = 50 * 1024 * 1024  # reference cap, config.py:30
+
+
+def validate_csv_paths(paths: List[str], max_bytes: int = DEFAULT_MAX_BYTES):
+    """Reject-fast input admission (M5; reference ``validators.py:10-30``
+    extension check + ``file_repository.py:20-21`` size cap). Returns
+    ``(accepted, rejected)`` where rejected entries carry the reason --
+    driver-side, before any task is launched."""
+    import os
+
+    accepted, rejected = [], []
+    for p in paths:
+        if not p.lower().endswith(".csv"):
+            rejected.append((p, "extension: not .csv"))
+            continue
+        try:
+            size = os.path.getsize(p)
+        except OSError as e:
+            rejected.append((p, f"stat: {e}"))
+            continue
+        if size > max_bytes:
+            rejected.append((p, f"size {size} > cap {max_bytes}"))
+            continue
+        accepted.append(p)
+    return accepted, rejected
+
+
 # ---------------------------------------------------------------------------
 # Ray front-end
 # ---------------------------------------------------------------------------

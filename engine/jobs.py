@@ -192,6 +192,20 @@ def expire(table: Table, cfg: EngineConfig = EngineConfig(), now: Optional[float
     return table.expire_snapshots(cfg.snapshot_ttl_seconds, now=now)
 
 
+def dump_csv(table: Table, out_dir: str, columns: Optional[list] = None) -> str:
+    """S5 conformance sink: canonical CSV dump of the current snapshot
+    (the engine's DictWriter re-serialization, ``file_service.py:16-21``)
+    for diffing against the reference's processed artifacts. Binary
+    columns are excluded (CSV-unrepresentable)."""
+    ds = table.scan(columns=columns)
+    schema = ds.schema()
+    drop = [n for n, t in zip(schema.names, schema.types) if pa.types.is_binary(t) or pa.types.is_large_binary(t)]
+    if drop:
+        ds = ds.select_columns([n for n in schema.names if n not in drop])
+    ds.write_csv(out_dir)
+    return out_dir
+
+
 def full_maintenance(
     table_root: str,
     source,

@@ -1,0 +1,78 @@
+"""Explicit skew handling: heavy-key detection + salting (north_rule:
+"skewed partitions (e.g., dominant lang values) are salted and split
+explicitly"; SURVEY 4.2).
+
+A partition key like ``lang`` is pathologically skewed on web data
+(en ~ 60%). Any per-key stage (per-lang compaction bins, per-lang
+aggregation, per-key windowing) that maps one key to one task turns the
+dominant key into a straggler. The engine's pattern:
+
+1. :func:`detect_heavy_keys` -- key -> row count, either *free* from
+   manifest per-file stats (files record ``partition`` labels and row
+   counts) or via a cheap projected ``groupby().count()``;
+2. :func:`add_salt` -- heavy keys get ``__salt = hash(row) % k`` so the
+   downstream ``groupby([key, "__salt"])`` splits them into k
+   sub-partitions; light keys keep ``__salt = 0``;
+3. merge the per-salt partials (sum counts, min/max stats, concat
+   files) -- salting only works for decomposable operations, which all
+   the engine's maintenance aggregates are.
+
+Compaction gets salting implicitly (bins are capped at target size, so
+a dominant partition just yields more bins -- engine/compact.py); this
+module provides it for grouped aggregations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def detect_heavy_keys(ds, col: str, threshold_rows: int) -> dict:
+    """key -> count for keys above threshold (projected groupby: only
+    the key column shuffles, pre-aggregated per block by Ray)."""
+    counts = ds.select_columns([col]).groupby(col).count().to_pandas()
+    heavy = counts[counts["count()"] > threshold_rows]
+    return dict(zip(heavy[col], heavy["count()"]))
+
+
+def heavy_keys_from_manifest(table, threshold_rows: int) -> dict:
+    """Zero-cost variant: per-partition row counts straight from the
+    manifest file entries (A6 stats reuse)."""
+    agg: dict = {}
+    for fe in table.live_files():
+        if fe.partition is not None:
+            agg[fe.partition] = agg.get(fe.partition, 0) + fe.rows
+    return {k: v for k, v in agg.items() if v > threshold_rows}
+
+
+def add_salt(ds, col: str, heavy: dict, salt_buckets: int = 8):
+    """Append ``__salt``: 0 for light keys, hash(row)%k for heavy ones."""
+    heavy_ref = ray.put(set(heavy))
+
+    def salt(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_pandas()
+        is_heavy = keys.isin(ray.get(heavy_ref)).to_numpy()
+        salts = np.zeros(len(keys), dtype=np.int32)
+        n_heavy = int(is_heavy.sum())
+        if n_heavy:
+            salts[is_heavy] = np.arange(n_heavy) % salt_buckets
+        return t.append_column("__salt", pa.array(salts))
+
+    return ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def salted_group_count(ds, col: str, threshold_rows: int = 1_000_000, salt_buckets: int = 8):
+    """Grouped count with explicit salt-split of dominant keys:
+    groupby([key, salt]) -> per-salt partials -> driver-side (tiny)
+    final merge. Demonstrates the decomposable-aggregate pattern; the
+    same shape applies to min/max/sum stats maintenance."""
+    heavy = detect_heavy_keys(ds, col, threshold_rows)
+    salted = add_salt(ds.select_columns([col]), col, heavy, salt_buckets)
+    partials = salted.groupby([col, "__salt"]).count().to_pandas()
+    out = partials.groupby(col, as_index=False)["count()"].sum()
+    return out.rename(columns={"count()": "n"}), heavy

@@ -1,0 +1,111 @@
+"""Broadcast joins, skew salting, partial+final aggregates, CSV
+validation and CSV dump (J1/M5/A2/S5, skew per north_rule)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from engine.aggregates import grouped_sum_count, pattern_score_distributed
+from engine.csv_ingest import validate_csv_paths
+from engine.lookup import broadcast_join, broadcast_semi_join
+from engine.skew import add_salt, detect_heavy_keys, salted_group_count
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    facts = pa.table({"k": [1, 2, 3, 2, 9], "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    dim = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    out = (
+        broadcast_join(ray.data.from_arrow(facts), dim, left_on="k", right_on="id")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        facts.to_pandas()
+        .merge(dim, left_on="k", right_on="id")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_broadcast_semi_and_anti_join(ray_session):
+    t = pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    keep = broadcast_semi_join(ray.data.from_arrow(t), {2, 4}, "k").to_pandas()
+    assert sorted(keep.k) == [2, 4]
+    drop = broadcast_semi_join(ray.data.from_arrow(t), {2, 4}, "k", anti=True).to_pandas()
+    assert sorted(drop.k) == [1, 3]
+
+
+def test_detect_heavy_and_salt(ray_session):
+    langs = ["en"] * 600 + ["zh"] * 150 + ["fr"] * 20
+    ds = ray.data.from_arrow(pa.table({"lang": langs}))
+    heavy = detect_heavy_keys(ds, "lang", threshold_rows=100)
+    assert set(heavy) == {"en", "zh"}
+    salted = add_salt(ds, "lang", heavy, salt_buckets=4).to_pandas()
+    en = salted[salted.lang == "en"]["__salt"]
+    assert set(en.unique()) == {0, 1, 2, 3}  # dominant key split 4 ways
+    fr = salted[salted.lang == "fr"]["__salt"]
+    assert (fr == 0).all()  # light keys unsalted
+
+
+def test_salted_group_count_equals_plain(ray_session):
+    langs = ["en"] * 300 + ["zh"] * 80 + ["fr"] * 7
+    ds = ray.data.from_arrow(pa.table({"lang": langs}))
+    out, heavy = salted_group_count(ds, "lang", threshold_rows=50, salt_buckets=4)
+    assert dict(zip(out.lang, out.n)) == {"en": 300, "zh": 80, "fr": 7}
+    assert "en" in heavy
+
+
+def test_grouped_sum_count_combiner(ray_session):
+    df = pd.DataFrame({"k": ["a", "b", "a", "a", "b"], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = grouped_sum_count(ds, "k", "v").sort_values("k").reset_index(drop=True)
+    assert out.sum_value.tolist() == [8.0, 7.0]
+    assert out.n.tolist() == [3, 2]
+
+
+def test_pattern_score_distributed_matches_local(ray_session):
+    from engine.infer import pattern_score
+
+    widths = [3] * 50 + [2] * 10 + [1] * 5
+    ds = ray.data.from_arrow(pa.table({"w": widths})).repartition(4)
+    got = pattern_score_distributed(ds, "w")
+    exp = pattern_score([[None] * w for w in widths])
+    assert abs(got - exp) < 1e-12
+
+
+def test_validate_csv_paths(tmp_path):
+    ok = tmp_path / "good.csv"
+    ok.write_text("a,b\n1,2\n")
+    big = tmp_path / "big.csv"
+    big.write_text("x" * 1000)
+    wrong = tmp_path / "notes.txt"
+    wrong.write_text("hi")
+    accepted, rejected = validate_csv_paths(
+        [str(ok), str(big), str(wrong), str(tmp_path / "missing.csv")], max_bytes=100
+    )
+    assert accepted == [str(ok)]
+    reasons = dict(rejected)
+    assert "size" in reasons[str(big)]
+    assert "extension" in reasons[str(wrong)]
+    assert "stat" in reasons[str(tmp_path / "missing.csv")]
+
+
+def test_dump_csv_roundtrip(tmp_table_root, ray_session):
+    from engine.jobs import dump_csv, ingest
+    from engine.manifest import Table
+    from engine.pages import synth_pages_table
+
+    t = Table.create(tmp_table_root)
+    ingest(t, ray.data.from_arrow(synth_pages_table(50)), sanitize_cols=())
+    out_dir = os.path.join(tmp_table_root, "csv_dump")
+    dump_csv(t, out_dir)
+    files = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    assert files
+    df = pd.concat([pd.read_csv(os.path.join(out_dir, f)) for f in files])
+    assert len(df) == 50
+    assert "html" not in df.columns  # binary column excluded

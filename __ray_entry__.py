@@ -319,6 +319,66 @@ def _q_salted_lang_counts(sf_dir: str):
     return out
 
 
+def _q_sessions_per_user(sf_dir: str):
+    """Session-window aggregate over the events log (SURVEY 2.9)."""
+    import ray.data
+    from engine.window import session_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_stats(ds, gap_seconds=1800.0, num_buckets=32)
+
+
+def _q_tumbling_hourly(sf_dir: str):
+    """Tumbling event-time window: events + value sum per hour."""
+    import ray.data
+    from engine.window import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = tumbling_window_agg(ds, width_seconds=3600.0)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["window_start", "n", "sum_value"]]
+
+
+def _q_quality_filter(sf_dir: str):
+    """C4-style quality gate: docs passing token/alpha/stopword floors."""
+    import ray.data
+    from engine.textstats import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = text_stats(ds)
+
+    def gate(df):
+        keep = (df.n_tokens >= 20) & (df.alpha_ratio >= 0.7) & (df.stop_ratio >= 0.02)
+        return df.loc[keep, ["doc_id"]]
+
+    return scored.map_batches(gate, batch_format="pandas")
+
+
+def _q_pruned_scan(sf_dir: str):
+    """Manifest min/max pruning: cluster by (lang,url), then scan ONLY
+    the files whose lang range can contain 'zh' (file-level skip before
+    any task launches), then the exact filter."""
+    import pyarrow.compute as pc
+    from engine.config import EngineConfig
+    from engine.jobs import cluster, ingest
+    from engine.manifest import Table
+    from engine.pages import read_pages
+
+    root = _tmp_root("prune")
+    t = Table.create(root)
+    cfg = EngineConfig()
+    ingest(t, read_pages(sf_dir, with_html=False), cfg, sanitize_cols=(), rows_per_file=64)
+    cluster(t, cfg, rows_per_file=256)
+    pruned = t.scan(
+        columns=["url", "text", "lang"], predicate_stats={"lang": ("zh", "zh")}
+    )
+    return pruned.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "zh")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # --- rows-only (non-SQL-expressible) --------------------------------------
 
 def _q_minhash_pairs(sf_dir: str):
@@ -416,6 +476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "lineitem_pricing": _q_lineitem_pricing,
         "salted_lang_counts": _q_salted_lang_counts,
+        "sessions_per_user": _q_sessions_per_user,
+        "tumbling_hourly": _q_tumbling_hourly,
+        "quality_filter": _q_quality_filter,
+        "pruned_scan": _q_pruned_scan,
         # rows-only checks below
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -563,4 +627,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "sessions_per_user": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) "
+            "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events "
+            "FROM g GROUP BY user_id"
+        ),
+        "tumbling_hourly": (
+            "SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents WHERE "
+            f"{n_tokens} >= 20 AND "
+            f"{n_alpha} / CAST(length(text) AS DOUBLE) >= 0.7 AND "
+            f"{n_stop} / CAST({n_tokens} AS DOUBLE) >= 0.02"
+        ),
+        "pruned_scan": PAGES_CTE + "SELECT url, text, lang FROM pages WHERE lang = 'zh'",
     }

@@ -1,0 +1,98 @@
+"""Sessionization / windowed aggregates over an ordered event log
+(SURVEY 2.9: the engine's generalization of the transposer's
+session-window semantics to event streams).
+
+Ray Data has no event-time windowing; the engine expresses it as:
+hash-bucket the keys (NOT one group per key -- one vectorized fold per
+bucket, same discipline as MERGE), sort each bucket's frame by
+``(key, ts)`` in pandas, and compute windows with C-speed cumulative
+kernels. Ordering assumption: all rows of one key land in one bucket
+(guaranteed by the key hash); within the bucket pandas sorts them.
+
+- :func:`sessionize`: new session when the gap to the previous event of
+  the same key exceeds ``gap``; emits ``session_seq`` (0-based per key).
+- :func:`session_stats`: per-key session count + event count.
+- :func:`tumbling_window_agg`: fixed-width event-time windows
+  (``floor(ts / width)``) -- a pure map + grouped aggregate, no
+  ordering needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.merge import _add_bucket
+
+
+def _sessionize_frame(df: pd.DataFrame, key: str, ts: str, gap_us: int) -> pd.DataFrame:
+    df = df.sort_values([key, ts], kind="stable")
+    t = df[ts].astype("int64")
+    new_key = df[key] != df[key].shift()
+    gap_break = (t - t.shift()) > gap_us
+    df["session_seq"] = (new_key | gap_break).groupby(df[key].to_numpy()).cumsum().astype("int64") - 1
+    return df
+
+
+def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float = 1800.0, num_buckets: int = 64):
+    """Append ``session_seq`` per key under a gap rule (session window)."""
+    gap_us = int(gap_seconds * 1_000_000)
+    keyed = ds.map_batches(
+        _add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"key": key, "num_buckets": num_buckets},
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return _sessionize_frame(df.drop(columns=["__bucket"]), key, ts, gap_us)
+
+    return keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+
+
+def session_stats(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float = 1800.0, num_buckets: int = 64):
+    """Per-key session/event counts: ``(key, n_sessions, n_events)``."""
+    sess = sessionize(ds, key, ts, gap_seconds, num_buckets)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key)["session_seq"].agg(["max", "size"]).reset_index()
+        g["n_sessions"] = (g["max"] + 1).astype("int64")
+        g["n_events"] = g["size"].astype("int64")
+        return g[[key, "n_sessions", "n_events"]]
+
+    # session_seq is already per-key complete within its bucket -> the
+    # per-bucket aggregate needs no second-level combine
+    keyed = sess.map_batches(
+        _add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"key": key, "num_buckets": num_buckets},
+    )
+    return keyed.groupby("__bucket").map_groups(
+        lambda df: agg(df.drop(columns=["__bucket"])), batch_format="pandas"
+    )
+
+
+def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds: float = 3600.0):
+    """Events per fixed window: ``(window_start, n, sum_value)``.
+    Stateless: window id is a vectorized map; the aggregate shuffles
+    pre-combined partials only."""
+    width_us = int(width_seconds * 1_000_000)
+
+    def win(t: pa.Table) -> pa.Table:
+        tt = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # window start as epoch SECONDS (int64): integers hash/compare
+        # identically everywhere, unlike timestamp units
+        start = (tt // width_us) * (width_us // 1_000_000)
+        return pa.table(
+            {
+                "window_start": pa.array(start, type=pa.int64()),
+                value: t.column(value),
+            }
+        )
+
+    from engine.aggregates import grouped_sum_count
+
+    out = grouped_sum_count(ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True), "window_start", value)
+    return out

@@ -32,6 +32,10 @@ class EngineConfig:
     #: number of hash buckets for the MERGE shuffle. Scale with cluster
     #: size: ~2-4x total cores so stragglers rebalance.
     merge_buckets: int = 64
+    #: wide binary payload columns kept OUT of the merge shuffle via the
+    #: two-phase winner-retrieval path (merge_datasets_wide); empty ->
+    #: single-pass merge moving full rows.
+    merge_wide_cols: tuple = ()
 
     # --- clustering ------------------------------------------------------
     cluster_cols: tuple = ("lang", "url")

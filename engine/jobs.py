@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from engine.config import EngineConfig
-from engine.manifest import FileEntry, Table
+from engine.manifest import FileEntry, JobLog, Table
 from engine.merge import merge_datasets
 from engine.sanitize import sanitize_stage
 from engine.writer import write_files
@@ -120,6 +120,71 @@ def ingest(
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
 
 
+def ingest_sharded(
+    table: Table,
+    paths: list,
+    cfg: EngineConfig = EngineConfig(),
+    job_id: str = "ingest",
+    shard_files: int = 16,
+    sanitize_cols=("text",),
+    rows_per_file: Optional[int] = None,
+    failpoint_after: Optional[int] = None,
+) -> dict:
+    """Resumable ingest: input files are processed in shards of
+    ``shard_files``; each shard streams through its own pipeline and is
+    recorded in the job lineage log as it completes. A rerun with the
+    same ``job_id`` skips committed shards and commits ONE snapshot over
+    all shard outputs (L1/L2: the ``processed_fs_id`` backfill pattern
+    at partition granularity; north_rule "resumable from checkpoint with
+    per-partition lineage").
+
+    ``failpoint_after``: test hook, crash after N shards committed.
+    """
+    import json
+
+    log = JobLog(table, job_id)
+    done = log.committed()
+    shards = [paths[i : i + shard_files] for i in range(0, len(paths), shard_files)]
+    all_entries = []
+    for pid, e in done.items():
+        all_entries.extend(FileEntry.from_json(d) for d in e["output_files"])
+    completed = len(done)
+    for i, shard in enumerate(shards):
+        pid = f"shard-{i:05d}"
+        if pid in done:
+            continue
+        ds = evolved_read(shard)
+        if sanitize_cols:
+            ds = sanitize_stage(ds, columns=sanitize_cols)
+        entries = write_files(
+            ds,
+            table.data_dir,
+            prefix=f"ingest-{job_id}-{pid}",
+            stats_cols=cfg.stats_cols,
+            rows_per_file=rows_per_file,
+        )
+        log.record(
+            pid,
+            input_files=shard,
+            output_files=[e.to_json() for e in entries],
+            rows=sum(e.rows for e in entries),
+        )
+        all_entries.extend(entries)
+        completed += 1
+        if failpoint_after is not None and completed >= failpoint_after:
+            raise RuntimeError(f"injected failure after {completed} shards (job {job_id})")
+    snap = table.commit(
+        f"ingest:{job_id}", add_files=all_entries, schema=_entries_schema(all_entries)
+    )
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "files": len(all_entries),
+        "rows": snap.total_rows,
+        "shards": len(shards),
+        "shards_skipped_resume": len(done),
+    }
+
+
 def merge_into(
     table: Table,
     cfg: EngineConfig = EngineConfig(),
@@ -131,12 +196,25 @@ def merge_into(
     non-empty coalesce; NULL-url rows pass through. Rewrites the table
     (new files, old files stay until expiration -- snapshot isolation)."""
     job_id = job_id or uuid.uuid4().hex[:8]
-    ds = table.scan()
-    if source is not None:
-        ds = ds.union(source)
     blocks = _shuffle_blocks(table)
-    ds = ds.repartition(blocks)
-    merged = merge_datasets(ds, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks)
+
+    def build():
+        ds = table.scan()
+        if source is not None:
+            ds = ds.union(source)
+        return ds.repartition(blocks)
+
+    schema = table.arrow_schema()
+    names = set(schema.names) if schema is not None else set()
+    wide = [c for c in (cfg.merge_wide_cols or ()) if c in names]
+    if wide:
+        from engine.merge import merge_datasets_wide
+
+        merged = merge_datasets_wide(
+            build, wide, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks
+        )
+    else:
+        merged = merge_datasets(build(), key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks)
     entries = write_files(
         merged, table.data_dir, prefix=f"merge-{job_id}", stats_cols=cfg.stats_cols
     )

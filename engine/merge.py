@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 
 def _is_missing_key(arr: pa.Array):
@@ -86,6 +87,156 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     # all-missing columns fall back to the anchor's literal (possibly empty) value
     out = out.where(out.notna(), anchor[value_cols])
     return out.reset_index()[df.columns.tolist()]
+
+
+def merge_datasets_wide(
+    ds_factory,
+    wide_cols,
+    key: str = "url",
+    ts: str = "warc_ts",
+    num_buckets: int = 64,
+):
+    """MERGE INTO that keeps wide binary payload columns (html) OUT of
+    the main shuffle (SURVEY 4.2: "keep html:binary columns out of
+    shuffles").
+
+    Phase A shuffles only the light columns plus one boolean non-empty
+    marker per wide column; its fold produces the merged light row and,
+    per key, the winning timestamp of each wide column (max ts among
+    rows with non-empty payload, else the anchor ts). Phase B streams
+    the input a second time and keeps only winning payload rows -- ~1/D
+    of the payload bytes at duplicate factor D -- which ride one bucket
+    exchange to be attached to their merged light rows. NULL/empty-key
+    rows bypass both phases entirely (full-row passthrough, no shuffle).
+
+    ``ds_factory``: zero-arg callable returning a fresh Dataset over the
+    input (each phase is one streaming pass; a Dataset pipeline is
+    single-use). Scale seam: the winner set is broadcast as a dict of
+    (key, ts) pairs -- fine to ~10^7 keys per job; beyond that swap the
+    broadcast for a hash-partitioned semi-join on (key, ts). Payload
+    movement is already minimal either way.
+
+    Returns a Dataset with the same columns as the input.
+    """
+    wide_cols = list(wide_cols)
+    has_cols = [f"__has_{w}" for w in wide_cols]
+    wts_cols = [f"__wts_{w}" for w in wide_cols]
+    light = ds_factory()
+    schema_names = light.schema().names
+    light_cols = [c for c in schema_names if c not in wide_cols]
+
+    def mark(t: pa.Table) -> pa.Table:
+        keep = pc.invert(_is_missing_key(t.column(key)))
+        t = t.filter(keep)
+        out = t.select(light_cols)
+        for w in wide_cols:
+            arr = t.column(w)
+            nonempty = pc.and_kleene(pc.is_valid(arr), pc.greater(pc.binary_length(arr), 0))
+            out = out.append_column(f"__has_{w}", pc.fill_null(nonempty, False))
+        return out
+
+    keyed = light.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        _add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"key": key, "num_buckets": num_buckets},
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"])
+        merged = merge_fold(df.drop(columns=has_cols), key, ts)
+        s = df.sort_values(ts, kind="stable")
+        for w in wide_cols:
+            anchor_ts = s.groupby(key, sort=False)[ts].first()
+            wts = s[s[f"__has_{w}"]].groupby(key, sort=False)[ts].last()
+            winner = anchor_ts.copy()
+            winner.update(wts)
+            merged[f"__wts_{w}"] = merged[key].map(winner)
+        return merged
+
+    merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+
+    # winner set per wide column, as sorted uint64 hashes of (key, ts)
+    # pairs -> broadcast; membership checks are then one vectorized
+    # np.isin per batch instead of a Python loop.
+    def _pair_hash(keys: pd.Series, tss) -> np.ndarray:
+        hk = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
+        ht = pd.util.hash_array(pd.Series(tss).astype("int64").to_numpy())
+        return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
+
+    win_df = merged_light.select_columns([key] + wts_cols).to_pandas()
+    winners = {
+        w: np.sort(_pair_hash(win_df[key], win_df[f"__wts_{w}"])) for w in wide_cols
+    }
+    winners_ref = ray.put(winners)
+
+    def winning_payloads(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(_is_missing_key(t.column(key))))
+        wmap = ray.get(winners_ref)
+        keys = t.column(key).to_pandas()
+        h = _pair_hash(keys, t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        out = None
+        for w in wide_cols:
+            mask = pa.array(np.isin(h, wmap[w]))
+            sub = t.filter(mask).select([key, ts, w])
+            out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
+        return out
+
+    payloads = ds_factory().map_batches(
+        winning_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # union requires one schema: align both sides to the superset
+    # (missing columns null-filled), then tag the side.
+    in_schema = light.schema()
+    type_of = dict(zip(in_schema.names, in_schema.types))
+    union_schema = pa.schema(
+        [(n, type_of[n]) for n in schema_names]
+        + [(c, pa.timestamp("us")) for c in wts_cols]
+        + [("__side", pa.int8())]
+    )
+
+    def align_and_tag(side):
+        from engine.jobs import align_to_schema
+
+        def f(t: pa.Table) -> pa.Table:
+            t = t.drop_columns([c for c in t.column_names if c not in union_schema.names])
+            out = align_to_schema(t, union_schema.remove(union_schema.get_field_index("__side")))
+            return out.append_column("__side", pa.array([side] * len(out), pa.int8()))
+
+        return f
+
+    light_keyed = merged_light.map_batches(align_and_tag(0), batch_format="pyarrow").map_batches(
+        _add_bucket, batch_format="pyarrow", fn_kwargs={"key": key, "num_buckets": num_buckets}
+    )
+    payl_keyed = payloads.map_batches(align_and_tag(1), batch_format="pyarrow").map_batches(
+        _add_bucket, batch_format="pyarrow", fn_kwargs={"key": key, "num_buckets": num_buckets}
+    )
+
+    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"])
+        lightf = df[df["__side"] == 0].drop(columns=["__side"] + wide_cols, errors="ignore")
+        payf = df[df["__side"] == 1]
+        for w in wide_cols:
+            m = payf[payf[w].notna()][[key, ts, w]]
+            lightf = lightf.merge(
+                m.rename(columns={ts: f"__wts_{w}"}),
+                how="left",
+                on=[key, f"__wts_{w}"],
+            )
+        return lightf.drop(columns=wts_cols)[list(schema_names)]
+
+    joined = light_keyed.union(payl_keyed).groupby("__bucket").map_groups(
+        join_fold, batch_format="pandas"
+    )
+
+    # NULL/empty-key rows: full-row passthrough, payload intact, no shuffle
+    passthrough = ds_factory().map_batches(
+        lambda t: t.filter(_is_missing_key(t.column(key))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return joined.union(passthrough)
 
 
 def merge_datasets(

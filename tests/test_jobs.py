@@ -104,3 +104,50 @@ def test_expire_gc_after_maintenance(tmp_table_root, sf_dir, ray_session):
     for p in pre_files:
         assert os.path.exists(p)
     assert t.snapshot().total_rows == len(t.scan().to_pandas())
+
+
+def test_ingest_sharded_resume(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    from engine.jobs import ingest_sharded
+    from engine.pages import synth_pages_table
+
+    paths = []
+    full = synth_pages_table(300)
+    for i in range(6):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(full.slice(i * 50, 50), p)
+        paths.append(p)
+
+    t = Table.create(str(tmp_path / "t1"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest_sharded(t, paths, CFG, job_id="j1", shard_files=2, failpoint_after=1)
+    assert t.snapshot().operation == "create"  # nothing committed
+    r = ingest_sharded(t, paths, CFG, job_id="j1", shard_files=2)
+    assert r["shards_skipped_resume"] == 1 and r["shards"] == 3
+    assert r["rows"] == 300
+    # identical row set to an uninterrupted run
+    t2 = Table.create(str(tmp_path / "t2"))
+    ingest_sharded(t2, paths, CFG, job_id="j1", shard_files=2)
+    a = t.scan().to_pandas().sort_values(["url", "warc_ts"], na_position="first").reset_index(drop=True)
+    b = t2.scan().to_pandas().sort_values(["url", "warc_ts"], na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_merge_into_wide_payload_path(tmp_table_root, ray_session):
+    from engine.jobs import ingest, merge_into
+    from engine.pages import synth_pages_table
+
+    cfg_wide = EngineConfig(merge_buckets=4, merge_wide_cols=("html",))
+    t = Table.create(tmp_table_root)
+    ingest(t, ray.data.from_arrow(synth_pages_table(800)), cfg_wide, sanitize_cols=())
+    merge_into(t, cfg_wide)
+    got = t.scan().to_pandas()
+    # equivalent to the single-pass merge on the same input
+    t2 = Table.create(tmp_table_root + "_plain")
+    ingest(t2, ray.data.from_arrow(synth_pages_table(800)), CFG, sanitize_cols=())
+    merge_into(t2, CFG)
+    exp = t2.scan().to_pandas()
+    cols = ["url", "warc_ts", "text", "lang", "html"]
+    a = got[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    b = exp[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -1,0 +1,141 @@
+"""Command-line entry point for maintenance jobs, the shape you'd hand
+to ``ray job submit`` on a real cluster::
+
+    ray job submit -- python -m engine maintain --table /data/pages \\
+        --input 's3://.../crawl/*.parquet'
+    python -m engine ingest  --table T --input f1.parquet f2.parquet
+    python -m engine merge   --table T [--wide html]
+    python -m engine compact --table T --target-mb 128 --job-id nightly
+    python -m engine cluster --table T --curve zorder|hilbert
+    python -m engine expire  --table T --ttl-hours 24
+    python -m engine scan    --table T [--limit 10]
+    python -m engine ingest-csv --table T --input *.csv [--id-field url]
+
+This is the only module besides bench.py and the test fixture that owns
+a Ray session (guarded: respects an already-initialised Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="engine", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--table", required=True)
+        return sp
+
+    sp = add("ingest")
+    sp.add_argument("--input", nargs="+", required=True)
+    sp.add_argument("--job-id", default=None)
+    sp.add_argument("--shard-files", type=int, default=16)
+    sp.add_argument("--no-sanitize", action="store_true")
+
+    sp = add("ingest-csv")
+    sp.add_argument("--input", nargs="+", required=True)
+    sp.add_argument("--id-field", default=None)
+
+    sp = add("merge")
+    sp.add_argument("--wide", nargs="*", default=[])
+    sp.add_argument("--key", default="url")
+    sp.add_argument("--ts", default="warc_ts")
+
+    sp = add("compact")
+    sp.add_argument("--target-mb", type=int, default=128)
+    sp.add_argument("--job-id", default=None)
+
+    sp = add("cluster")
+    sp.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+
+    sp = add("expire")
+    sp.add_argument("--ttl-hours", type=float, default=24.0)
+
+    sp = add("maintain")
+    sp.add_argument("--input", nargs="+", required=True)
+    sp.add_argument("--target-mb", type=int, default=128)
+
+    sp = add("scan")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--columns", nargs="*", default=None)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    from engine.config import EngineConfig
+    from engine.manifest import Table
+    from engine import jobs
+
+    cfg = EngineConfig()
+
+    if args.cmd == "maintain":
+        out = jobs.full_maintenance(
+            args.table, list(args.input), cfg, target_bytes=args.target_mb << 20
+        )
+    elif args.cmd == "ingest":
+        t = Table.create(args.table)
+        out = jobs.ingest_sharded(
+            t,
+            list(args.input),
+            cfg,
+            job_id=args.job_id or "cli",
+            shard_files=args.shard_files,
+            sanitize_cols=() if args.no_sanitize else ("text",),
+        )
+    elif args.cmd == "ingest-csv":
+        from engine.csv_ingest import ingest_csv, validate_csv_paths
+        from engine.writer import write_files
+
+        accepted, rejected = validate_csv_paths(list(args.input))
+        t = Table.create(args.table)
+        ds, fields, errors = ingest_csv(accepted, id_field=args.id_field)
+        entries = write_files(ds, t.data_dir, prefix="csv", stats_cols=())
+        snap = t.commit("ingest-csv", add_files=entries)
+        out = {
+            "snapshot_id": snap.snapshot_id,
+            "rows": snap.total_rows,
+            "fields": fields,
+            "rejected": rejected,
+            "quarantined": errors,
+        }
+    elif args.cmd == "merge":
+        t = Table.load(args.table)
+        c = EngineConfig(merge_key=args.key, merge_ts=args.ts, merge_wide_cols=tuple(args.wide))
+        out = jobs.merge_into(t, c)
+    elif args.cmd == "compact":
+        t = Table.load(args.table)
+        out = jobs.compact(t, cfg, target_bytes=args.target_mb << 20, job_id=args.job_id)
+    elif args.cmd == "cluster":
+        t = Table.load(args.table)
+        out = jobs.cluster(t, EngineConfig(cluster_curve=args.curve))
+    elif args.cmd == "expire":
+        t = Table.load(args.table)
+        out = jobs.expire(t, EngineConfig(snapshot_ttl_seconds=args.ttl_hours * 3600))
+    elif args.cmd == "scan":
+        t = Table.load(args.table)
+        rows = t.scan(columns=args.columns).limit(args.limit).take_all()
+        out = {"rows": rows, "total": t.snapshot().total_rows}
+    else:  # pragma: no cover
+        p.error(f"unknown command {args.cmd}")
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

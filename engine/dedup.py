@@ -281,6 +281,48 @@ def minhash_dedup_pairs(
     return cand_ds.map_batches(verify, batch_format="pandas")
 
 
+def connected_components(pairs, ids_a="id_a", ids_b="id_b") -> dict:
+    """Duplicate-pair graph -> {doc_id: component_min_id} via union-find.
+
+    Driver-side: the candidate-pair set is bounded by LSH collisions
+    (orders of magnitude below corpus size); past ~10^8 pairs switch to
+    distributed min-label propagation (iterate: explode edges, groupby
+    node, min neighbor label, until fixpoint).
+    """
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[ids_a], pairs[ids_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in set(parent)}
+
+
+def drop_near_duplicates(ds, pairs, id_col: str = "doc_id"):
+    """Keep one survivor (the min id) per duplicate component; every
+    other member of a component is dropped. Broadcast the loser set and
+    filter -- no shuffle of the corpus."""
+    roots = connected_components(pairs)
+    losers = np.array([k for k, r in roots.items() if k != r])
+    losers_ref = ray.put(losers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        drop = ray.get(losers_ref)
+        return t.filter(pa.array(~np.isin(ids, drop)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -98,3 +98,27 @@ def test_jaccard_ngrams_bounds():
     assert 0.0 < jaccard_ngrams("a b c d e", "a b c d x", 2) < 1.0
     # char mode
     assert jaccard_ngrams("abcd", "abcd", 2, char=True) == 1.0
+
+
+def test_connected_components_and_drop(ray_session):
+    from engine.dedup import connected_components, drop_near_duplicates
+
+    pairs = pd.DataFrame({"id_a": [0, 1, 0, 7], "id_b": [1, 2, 5, 8]})
+    roots = connected_components(pairs)
+    # {0,1,2,5} one component rooted at 0; {7,8} rooted at 7
+    assert roots[1] == roots[2] == roots[5] == 0
+    assert roots[8] == 7
+    ds = ray.data.from_arrow(_docs())
+    out = drop_near_duplicates(ds, pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]}))
+    assert sorted(out.to_pandas().doc_id) == [0, 3, 4, 5]
+
+
+def test_minhash_end_to_end_dedup(ray_session):
+    # full pipeline: pairs -> components -> survivors
+    from engine.dedup import drop_near_duplicates
+
+    ds = ray.data.from_arrow(_docs())
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    out = drop_near_duplicates(ds, pairs).to_pandas()
+    # 0,1,2,5 are one near-dup cluster -> only 0 survives
+    assert sorted(out.doc_id) == [0, 3, 4]

@@ -117,3 +117,85 @@ def test_merge_matches_duckdb_oracle(sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --- property test: vectorized fold vs a literal reference-semantics oracle
+
+from hypothesis import given, settings, strategies as st
+
+
+def _reference_merge(rows, key="url", ts="warc_ts"):
+    """Literal re-statement of _group_records_by_id (csv_handler.py:66-97)
+    applied to ts-sorted rows (LWW order), row-at-a-time."""
+    rows = sorted(rows, key=lambda r: r[ts])
+    anchors, ordered = {}, []
+    for r in rows:
+        rid = r[key]
+        if rid is None or rid == "":
+            ordered.append(dict(r))
+            continue
+        if rid not in anchors:
+            anchors[rid] = dict(r)
+            ordered.append(anchors[rid])
+            continue
+        for f, v in r.items():
+            if f == key:
+                continue
+            if v not in ("", None):
+                anchors[rid][f] = v
+    return ordered
+
+
+_keys = st.one_of(st.none(), st.sampled_from(["", "u1", "u2", "u3", "k"]))
+_vals = st.sampled_from(["", "a", "b", "x y", None])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, _vals, _vals),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_merge_fold_matches_reference_semantics(rows_spec):
+    rows = [
+        {"url": k, "warc_ts": _ts(i), "text": t, "lang": l}
+        for i, (k, t, l) in enumerate(rows_spec)
+    ]
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    # mirror merge_datasets' bucket fold: null/empty keys pass through
+    null_mask = df["url"].isna() | (df["url"] == "")
+    got_df = merge_fold(df[~null_mask], "url", "warc_ts")
+    if null_mask.any():
+        got_df = pd.concat([got_df, df[null_mask]], ignore_index=True)
+    got = {
+        (r.url if pd.notna(r.url) else None, r.warc_ts): (
+            r.text if pd.notna(r.text) else None,
+            r.lang if pd.notna(r.lang) else None,
+        )
+        for r in got_df.itertuples()
+    }
+    exp_rows = _reference_merge(rows)
+    exp = {
+        (r["url"], pd.Timestamp(r["warc_ts"])): (r["text"], r["lang"])
+        for r in exp_rows
+    }
+    assert len(got_df) == len(exp_rows)
+    assert got == exp
+
+
+def test_numeric_columns_zero_overwrites_nan_skipped():
+    # reference rule `value not in ("", None)`: numeric 0 DOES overwrite,
+    # missing (None/NaN) does not
+    df = pd.DataFrame(
+        {
+            "url": ["u", "u", "u"],
+            "warc_ts": [_ts(1), _ts(2), _ts(3)],
+            "score": [5.0, 0.0, None],
+        }
+    )
+    out = merge_fold(df, "url", "warc_ts")
+    assert len(out) == 1
+    assert out.iloc[0].score == 0.0  # t2's zero won; t3's NaN skipped

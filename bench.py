@@ -102,25 +102,12 @@ def run_headline() -> dict:
         timings = {}
         t_all = time.perf_counter()
 
-        # ingest = sanitize + the stateful normalization stages of the
-        # north-star pipeline (language id, quality scores, simhash content
-        # signature) running as actor pools over zero-copy Arrow batches.
-        from engine.langid import lang_id
-        from engine.textstats import text_stats
-        from engine.dedup import simhash_batch
-        import pyarrow as pa
+        # ingest = sanitize + the north-star normalization chain
+        # (quality stats, language id, simhash) -- engine.jobs.normalize_stage
+        from engine.jobs import normalize_stage
 
-        def add_simhash(t: pa.Table) -> pa.Table:
-            sh = simhash_batch(t, text_col="text", id_col="url")
-            return t.append_column("simhash", sh.column("simhash"))
-
-        # elastic tasks with per-process cached state: no actor-pool startup
-        # cliff, no CPU reservation starving the read/write stages.
         t0 = time.perf_counter()
-        src = ray.data.read_parquet(in_dir)
-        src = text_stats(src, batch_size=8192)
-        src = lang_id(src, batch_size=8192)
-        src = src.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
+        src = normalize_stage(ray.data.read_parquet(in_dir), cfg)
         ingest(table, src, cfg)
         timings["ingest"] = round(time.perf_counter() - t0, 3)
 

@@ -284,16 +284,44 @@ def dump_csv(table: Table, out_dir: str, columns: Optional[list] = None) -> str:
     return out_dir
 
 
+def normalize_stage(ds, cfg: EngineConfig = EngineConfig(), simhash: bool = True):
+    """The north-star normalization chain: quality stats -> language id
+    -> simhash content signature, all elastic map stages over the text
+    column (see ARCHITECTURE.md section 1)."""
+    import pyarrow as pa_mod
+
+    from engine.dedup import simhash_batch
+    from engine.langid import lang_id
+    from engine.textstats import text_stats
+
+    ds = text_stats(ds, batch_size=cfg.batch_size)
+    ds = lang_id(ds, batch_size=cfg.batch_size)
+    if simhash:
+
+        def add_simhash(t: pa_mod.Table) -> pa_mod.Table:
+            sh = simhash_batch(t, text_col="text", id_col="url")
+            return t.append_column("simhash", sh.column("simhash"))
+
+        ds = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
 def full_maintenance(
     table_root: str,
     source,
     cfg: EngineConfig = EngineConfig(),
     target_bytes: Optional[int] = None,
     rows_per_file: Optional[int] = None,
+    normalize: bool = False,
 ) -> dict:
-    """The flagship pipeline (SURVEY 3.1 engine trace): ingest -> MERGE ->
-    compact -> cluster, each committing its own snapshot."""
+    """The flagship pipeline (SURVEY 3.1 engine trace): ingest [+
+    normalize] -> MERGE -> compact -> cluster, each committing its own
+    snapshot."""
     table = Table.create(table_root)
+    if isinstance(source, (list, tuple)):
+        source = evolved_read(source)
+    if normalize:
+        source = normalize_stage(source, cfg)
     out = {"ingest": ingest(table, source, cfg, rows_per_file=rows_per_file)}
     out["merge"] = merge_into(table, cfg)
     out["compact"] = compact(table, cfg, target_bytes=target_bytes)

@@ -120,9 +120,30 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return prod.min(axis=1)
 
 
+_SHINGLE_MIX = [np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5), np.uint64(0x85EBCA77C2B2AE63)]
+
+
+def shingle_hashes_from_tokens(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes computed numerically from per-token hashes
+    (vectorized): avoids building shingle STRINGS and re-hashing them --
+    each token is crc'd once, each shingle is a numpy mix of k lanes."""
+    n = len(token_hashes)
+    if n == 0:
+        return token_hashes
+    if n < k:
+        k = n
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc ^= token_hashes[j : n - k + 1 + j] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+    return _mix64(acc)
+
+
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor
-    (reference pattern T3: load-once worker state)."""
+    (reference pattern T3: load-once worker state). Per document:
+    tokenize -> crc32 per token (once) -> numeric k-gram shingle hashes
+    -> (num_perm x n_shingles) min-reduce."""
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
         self.a, self.b = _perm_params(num_perm)
@@ -130,15 +151,15 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
+    def _doc_signature(self, text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall((text or "").lower())
+        sh = shingle_hashes_from_tokens(_mix64(_crc32_array(toks)), self.k)
+        return minhash_signature(sh, self.a, self.b)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
-        sigs = np.stack(
-            [
-                minhash_signature(_mix64(_crc32_array(word_shingles(t or "", self.k))), self.a, self.b)
-                for t in texts
-            ]
-        )
+        sigs = np.stack([self._doc_signature(t) for t in texts])
         return pa.table(
             {
                 self.id_col: pa.array(ids),
@@ -343,6 +364,9 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    # per-document loop on purpose: a batch-flat (tokens x 64) sign
+    # matrix with segment sums measured 2x SLOWER (memory-bandwidth
+    # bound) than the small cache-resident per-doc kernels (~52us/doc)
     texts = batch.column(text_col).to_pylist()
     sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
     return pa.table({id_col: batch.column(id_col), "simhash": pa.array(sigs, type=pa.uint64())})

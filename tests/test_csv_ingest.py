@@ -188,3 +188,32 @@ def test_ingest_csv_schema_evolution(tmp_path, ray_session):
 def test_records_to_arrow_missing_keys_empty():
     t = records_to_arrow([{"a": "1"}, {"a": "2", "b": "x"}], ["a", "b"])
     assert t.column("b").to_pylist() == ["", "x"]
+
+
+def test_csv_error_mid_iteration_keeps_fields_drops_records():
+    # a field exceeding csv.field_size_limit raises csv.Error during row
+    # iteration (reference test_edge_cases.py:39-56: error caught,
+    # partial records dropped, header fields preserved)
+    import csv as _csv
+
+    huge = "x" * (_csv.field_size_limit() + 10)
+    content = f"col1,col2\nval1,val2\n{huge},v\n"
+    records, fields = parse_csv_text(content)
+    assert fields == ["col1", "col2"]
+    # rows parsed BEFORE the error are kept (reference csv_handler.py:
+    # 132-146: records accumulates inside try, except falls through to
+    # return); the bad row and everything after it are dropped
+    assert records == [{"col1": "val1", "col2": "val2"}]
+
+
+def test_vertical_csv_error_returns_empty():
+    import csv as _csv
+
+    huge = "x" * (_csv.field_size_limit() + 10)
+    # vertical-shaped so the transposer path is taken; csv.Error -> ([], [])
+    content = "Key,Value\nName,a\nKey,Value\nName,b\nKey,Value\nName,c\nKey," + huge
+    from engine.infer import Dialect, is_vertical_layout
+
+    assert is_vertical_layout(content, Dialect(",", '"'))
+    records, fields = transpose_vertical(content, Dialect(",", '"'))
+    assert (records, fields) == ([], [])

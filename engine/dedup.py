@@ -94,6 +94,35 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return winners, ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_dedup_shuffle(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """Scale-path exact dedup: hash-partition FULL rows by content hash
+    and keep the min-id row per hash inside a vectorized bucket fold --
+    no driver-side winner set (use when the corpus id set itself is too
+    large to broadcast; costs one full-row shuffle, like MERGE)."""
+    hashed = ds.map_batches(
+        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col},
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = t.column("__chash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        return df.drop_duplicates(subset="__chash", keep="first").drop(
+            columns=["__bucket", "__chash"]
+        )
+
+    return (
+        hashed.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------

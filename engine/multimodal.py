@@ -119,6 +119,35 @@ class AudioFrameSampler:
         return batch.append_column("duration_s", pa.array(out_dur, type=pa.float64()))
 
 
+class VideoFrameSampler:
+    """Actor-pool stage for video binary columns: deterministic frame
+    sampling plan ``(n_frames_total, sampled_frame_indices, fps)``;
+    decode itself is stubbed (no codec libs in this container)."""
+
+    def __init__(self, video_col: str = "video", every_n: int = 30, fake: bool = False):
+        self.video_col = video_col
+        self.every_n = every_n
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        totals, samples, fps_out = [], [], []
+        for p in batch.column(self.video_col).to_pylist():
+            if not self.fake:
+                raise NotImplementedError("video decode not available in this container")
+            digest = hashlib.blake2b(p or b"", digest_size=8).digest()
+            v = np.frombuffer(digest, dtype=np.uint32).astype(np.int64)
+            fps = [24, 25, 30, 60][int(v[0] % 4)]
+            n = int(v[1] % 100_000)
+            totals.append(n)
+            samples.append(list(range(0, n, self.every_n))[:32])
+            fps_out.append(fps)
+        batch = batch.append_column("n_frames_total", pa.array(totals, type=pa.int64()))
+        batch = batch.append_column(
+            "sampled_frames", pa.array(samples, type=pa.list_(pa.int32()))
+        )
+        return batch.append_column("fps", pa.array(fps_out, type=pa.int32()))
+
+
 def decode_html(ds, html_col: str = "html", batch_size: int = 256):
     """Stateless tag-strip stage (small batches: binary payloads)."""
     return ds.map_batches(

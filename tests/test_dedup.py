@@ -122,3 +122,12 @@ def test_minhash_end_to_end_dedup(ray_session):
     out = drop_near_duplicates(ds, pairs).to_pandas()
     # 0,1,2,5 are one near-dup cluster -> only 0 survives
     assert sorted(out.doc_id) == [0, 3, 4]
+
+
+def test_exact_dedup_shuffle_matches_broadcast(ray_session):
+    from engine.dedup import exact_dedup_shuffle
+
+    ds = ray.data.from_arrow(_docs()).repartition(3)
+    out = exact_dedup_shuffle(ds, num_buckets=4).to_pandas()
+    assert sorted(out.doc_id) == [0, 2, 3, 4, 5]
+    assert list(out.columns) == ["doc_id", "text"]

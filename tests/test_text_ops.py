@@ -122,3 +122,17 @@ def test_image_decoder_fake_and_stub(ray_session):
     # real mode is an explicit stub
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)._decode_one(b"x")
+
+
+def test_video_sampler_fake_and_stub(ray_session):
+    from engine.multimodal import VideoFrameSampler
+
+    t = pa.table({"video": pa.array([b"mp4-1", b"mp4-2"], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"fake": True},
+    ).to_pandas()
+    assert {"n_frames_total", "sampled_frames", "fps"} <= set(out.columns)
+    assert all(f in (24, 25, 30, 60) for f in out.fps)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(t)

@@ -71,6 +71,9 @@ class LangId:
         return best, min(1.0, best_hits / len(toks) * 2)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # per-row loop on purpose: the script check early-exits and the
+        # profile sets are probed on ONE tokenization; per-language
+        # regex-alternation counting measured 2x slower on real text
         preds = [self.classify(t or "") for t in batch[self.text_col]]
         batch = batch.assign(
             lang_pred=[p[0] for p in preds],

@@ -48,6 +48,10 @@ class TextStats:
         self.alpha = re.compile(ALPHA_PATTERN)
         self.punct = re.compile(PUNCT_PATTERN)
         self.stops = set(STOPWORDS)
+        # one C-regex alternation counting whole \S+ tokens equal to a
+        # stopword -- replaces a per-row Python membership loop
+        alt = "|".join(sorted(STOPWORDS, key=len, reverse=True))
+        self.stop_rx = re.compile(rf"(?<![^\s])(?:{alt})(?![^\s])")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
@@ -56,8 +60,7 @@ class TextStats:
         n_words = s.str.count(WORD_PATTERN).astype("int64")
         n_alpha = s.str.count(ALPHA_PATTERN).astype("int64")
         n_punct = s.str.count(PUNCT_PATTERN).astype("int64")
-        toks = s.str.lower().str.findall(TOKEN_PATTERN)
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stops)).astype("int64")
+        n_stop = s.str.lower().str.count(self.stop_rx).astype("int64")
 
         nc = n_chars.to_numpy().astype(np.float64)
         nt = n_tokens.to_numpy().astype(np.float64)

@@ -217,3 +217,26 @@ def test_vertical_csv_error_returns_empty():
     assert is_vertical_layout(content, Dialect(",", '"'))
     records, fields = transpose_vertical(content, Dialect(",", '"'))
     assert (records, fields) == ([], [])
+
+
+# --- dialect-detection parity vs the reference detector (oracle import)
+
+from hypothesis import given, settings, strategies as st
+
+from app.services.dialect_detector import DialectDetector as ReferenceDetector  # noqa: E402
+
+
+_cell = st.sampled_from(["1", "3.5", "1,5", "alice", "a b", "2023-01-01", "n/a", "x@y.com", "", "qu\"ote", "it's"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    delim=st.sampled_from([",", ";", "\t", "|"]),
+    rows=st.lists(st.lists(_cell, min_size=1, max_size=5), min_size=1, max_size=8),
+)
+def test_dialect_detection_matches_reference(delim, rows):
+    width = max(len(r) for r in rows)
+    content = "\n".join(delim.join((r + [""] * width)[:width]) for r in rows)
+    got = detect_dialect(content)
+    exp = ReferenceDetector().detect(content)
+    assert (got.delimiter, got.quotechar) == (exp.delimiter, exp.quotechar)

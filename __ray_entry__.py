@@ -397,6 +397,18 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_dup_pairs(ds, max_hamming=8)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (scale path; recall<1 by design -> rows-only)."""
+    import ray.data
+    from engine.similarity import ivf_topk
+
+    q, qids = _load_queries_emb(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, qids, k=5, n_centroids=16, nprobe=4).select_columns(
+        ["query_id", "vec_id"]
+    )
+
+
 def _q_lsh_embed_pairs(sf_dir: str):
     import ray.data
     from engine.similarity import lsh_bucketed_pairs
@@ -482,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_scan": _q_pruned_scan,
         # rows-only checks below
         "minhash_pairs": _q_minhash_pairs,
+        "ivf_topk": _q_ivf_topk,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_embed_pairs": _q_lsh_embed_pairs,
         "lang_id": _q_lang_id,

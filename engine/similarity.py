@@ -133,6 +133,101 @@ def cosine_dup_pairs(
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (Lloyd
+    iterations over normalized vectors; empty clusters re-seeded from
+    the farthest points). The sample is small (n_centroids x ~100
+    vectors suffice); training is O(sample x centroids x iters)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:
+                c[j] = x[sims.max(axis=1).argmin()]
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+    exclude_self: bool = True,
+):
+    """IVF approximate top-k: the scale path for similarity search.
+
+    1. train coarse centroids on a driver-side sample (deterministic),
+    2. each batch assigns its vectors to the nearest centroid and
+       searches ONLY vectors whose centroid is among each query's
+       ``nprobe`` closest lists -- per batch the matmul shrinks by
+       ~nprobe/n_centroids versus brute force,
+    3. the same partial-top-k -> tiny final reduce as :func:`cosine_topk`.
+
+    Recall < 1 by construction (a true neighbor can live in an
+    unprobed list); raise ``nprobe`` to trade compute for recall. At
+    10^9+ vectors the assignment becomes a stored ``__list`` column and
+    probing becomes a manifest-pruned scan of the probed lists only.
+    """
+    sample = ds.limit(train_sample).to_pandas()
+    c = train_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    # per query: the nprobe nearest centroid lists
+    probe = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((c, q, qids, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        cm, qm, qi, pr = ray.get(ref)
+        x = _normalize(_stack(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        assign = (x @ cm.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            mask = np.isin(assign, pr[j])
+            if exclude_self:
+                mask &= ids != qi[j]
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            scores = x[cand] @ qm[j]
+            top = cand[np.argsort(-scores, kind="stable")[:k]]
+            out_q.append(np.full(len(top), qi[j]))
+            out_id.append(ids[top])
+            out_s.append(x[top] @ qm[j])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def hyperplane_signatures(vectors: np.ndarray, num_bits: int = 16, seed: int = 42) -> np.ndarray:
     """Random-hyperplane LSH signature (deterministic seed)."""
     d = vectors.shape[1]

@@ -2,6 +2,7 @@
 pairs, LSH-bucketed variant recall."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -77,3 +78,33 @@ def test_hyperplane_signatures_deterministic():
     rng = np.random.default_rng(0)
     v = rng.standard_normal((10, 8))
     assert (hyperplane_signatures(v, 12) == hyperplane_signatures(v, 12)).all()
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    from engine.similarity import ivf_topk
+
+    t, m = _emb_table(400)
+    q_ids = [0, 10, 50]
+    q = m[q_ids]
+    ds = ray.data.from_arrow(t).repartition(3)
+    brute = cosine_topk(ds, q, q_ids, k=5).to_pandas()
+    approx = ivf_topk(
+        ray.data.from_arrow(t).repartition(3), q, q_ids, k=5, n_centroids=8, nprobe=4
+    ).to_pandas()
+    # planted near-identical vector must be found (lands in same list)
+    assert 1 in set(approx[approx.query_id == 0].vec_id)
+    assert 11 in set(approx[approx.query_id == 10].vec_id)
+    # decent recall overall with nprobe=half the lists
+    recall = sum(
+        len(set(brute[brute.query_id == qid].vec_id) & set(approx[approx.query_id == qid].vec_id))
+        for qid in q_ids
+    ) / (5 * len(q_ids))
+    assert recall >= 0.6
+    # deterministic across runs
+    again = ivf_topk(
+        ray.data.from_arrow(t).repartition(3), q, q_ids, k=5, n_centroids=8, nprobe=4
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+        again.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+    )

@@ -59,10 +59,15 @@ def plan_bins(
         # order by min-stat of the first stats col if present, so
         # clustering locality survives compaction; else by path.
         def sort_key(fe: FileEntry):
-            for col in ("__zkey", "url", "lang"):
+            # stringify stat minima: files in one partition may carry
+            # different stat columns/types (e.g. int __zkey from a
+            # cluster job next to str url from a later ingest) and a
+            # mixed int/str tuple comparison would raise TypeError
+            for prio, col in enumerate(("__zkey", "url", "lang")):
                 if col in fe.stats and fe.stats[col][0] is not None:
-                    return (0, fe.stats[col][0], fe.path)
-            return (1, "", fe.path)
+                    v = fe.stats[col][0]
+                    return (0, prio, str(v).zfill(24) if isinstance(v, int) else str(v), fe.path)
+            return (1, 0, "", fe.path)
 
         group.sort(key=sort_key)
         cur, cur_bytes = [], 0
@@ -131,6 +136,18 @@ def compact_table(
     lineage log (before the snapshot commit), simulating a crash
     (FIXTURES.md F5 resume scenario).
     """
+    prior = table.operation_snapshot(f"compact:{job_id}")
+    if prior is not None:
+        psnap = table.snapshot(prior)
+        return {
+            "snapshot_id": prior,
+            "bins": 0,
+            "bins_skipped_resume": 0,
+            "files_before": len(psnap.files),
+            "files_after": len(psnap.files),
+            "rows": psnap.total_rows,
+            "already_committed": True,
+        }
     snap = table.snapshot()
     bins, untouched = plan_bins(snap.files, target_bytes, small_fraction)
     log = JobLog(table, job_id)

@@ -60,9 +60,26 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append a 64-bit content hash column (vectorized-per-batch crc32+mix)."""
-    texts = batch.column(text_col).to_pandas().fillna("")
-    h = _mix64(_crc32_array(texts))
+    """Append a TRUE 64-bit content hash column.
+
+    crc32+mix64 would carry only 32 bits of entropy (mix64 is a
+    bijection), giving birthday collisions -- i.e. silently dropped
+    non-duplicate documents -- from ~10^5 rows. blake2b(digest_size=8)
+    is C-speed and collision-safe to ~2^32 documents; the 32-bit crc
+    path remains fine for MinHash/SimHash where a rare token-hash
+    collision only perturbs a similarity estimate.
+    """
+    import hashlib
+
+    texts = batch.column(text_col).to_pylist()
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).digest(), "little")
+            for t in texts
+        ),
+        dtype=np.uint64,
+        count=len(texts),
+    )
     return batch.append_column("__chash", pa.array(h, type=pa.uint64()))
 
 
@@ -304,12 +321,8 @@ def minhash_dedup_pairs(
     cand_df = candidates.to_pandas().drop_duplicates()
 
     # verify stage: true Jaccard on the candidate pairs only
-    texts = dict(
-        zip(
-            ds.select_columns([id_col, text_col]).to_pandas()[id_col],
-            ds.select_columns([id_col, text_col]).to_pandas()[text_col],
-        )
-    )
+    corpus = ds.select_columns([id_col, text_col]).to_pandas()  # ONE scan
+    texts = dict(zip(corpus[id_col], corpus[text_col]))
     texts_ref = ray.put(texts)
 
     if cand_df.empty:
@@ -414,29 +427,39 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id", sigs=None):
     """Near-dup pairs with Hamming distance <= max_hamming.
 
-    4 bands x 16 bits: any pair within Hamming 3 must agree exactly on
-    at least one band (pigeonhole), so per-band exact-match bucketing
-    finds all such pairs; verification computes the true distance.
+    Banding is sized to the radius: ``n_bands = max_hamming + 1``, so by
+    pigeonhole any pair within the radius agrees EXACTLY on at least one
+    band -- full recall for every max_hamming in [1, 31] (a fixed 4x16
+    split would silently miss pairs for radii > 3). Narrower bands mean
+    more candidate collisions; verification computes the true distance.
+
+    ``sigs``: optional precomputed ``(id, simhash)`` Dataset (skips the
+    signature stage; also the test seam for the banding guarantee).
     """
-    sigs = simhash_signatures(ds, text_col, id_col)
+    n_bands = min(32, max_hamming + 1)
+    width = 64 // n_bands
+    if sigs is None:
+        sigs = simhash_signatures(ds, text_col, id_col)
 
     def band_rows(t: pa.Table) -> pa.Table:
         s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         doc_ids = t.column(id_col).to_numpy(zero_copy_only=False)
         bands_out, keys = [], []
-        for bidx in range(4):
-            chunk = (s >> np.uint64(16 * bidx)) & np.uint64(0xFFFF)
+        for bidx in range(n_bands):
+            lo = bidx * width
+            w = 64 - lo if bidx == n_bands - 1 else width  # last band absorbs remainder
+            chunk = (s >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
             bands_out.append(np.full(len(s), bidx, dtype=np.int32))
             keys.append(chunk)
         return pa.table(
             {
                 "band_id": pa.array(np.concatenate(bands_out)),
                 "band_key": pa.array(np.concatenate(keys), type=pa.uint64()),
-                id_col: pa.array(np.tile(doc_ids, 4)),
-                "simhash": pa.array(np.tile(s, 4), type=pa.uint64()),
+                id_col: pa.array(np.tile(doc_ids, n_bands)),
+                "simhash": pa.array(np.tile(s, n_bands), type=pa.uint64()),
             }
         )
 

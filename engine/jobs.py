@@ -140,8 +140,17 @@ def ingest_sharded(
 
     ``failpoint_after``: test hook, crash after N shards committed.
     """
-    import json
-
+    prior = table.operation_snapshot(f"ingest:{job_id}")
+    if prior is not None:
+        snap = table.snapshot(prior)
+        return {
+            "snapshot_id": prior,
+            "files": len(snap.files),
+            "rows": snap.total_rows,
+            "shards": 0,
+            "shards_skipped_resume": 0,
+            "already_committed": True,
+        }
     log = JobLog(table, job_id)
     done = log.committed()
     shards = [paths[i : i + shard_files] for i in range(0, len(paths), shard_files)]

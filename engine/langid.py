@@ -28,8 +28,10 @@ PROFILES = {
 }
 
 _SCRIPT_RANGES = [
+    # kana MUST precede han: Japanese prose is ~25-40% kanji, so a
+    # han-first check would classify virtually all Japanese as zh
+    ("ja", re.compile(r"[぀-ヿ]")),
     ("zh", re.compile(r"[一-鿿㐀-䶿]")),
-    ("ja", re.compile(r"[぀-ヿ]")),  # kana (checked before zh han-only)
     ("ko", re.compile(r"[가-힯]")),
     ("ru", re.compile(r"[Ѐ-ӿ]")),
     ("ar", re.compile(r"[؀-ۿ]")),

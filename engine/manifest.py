@@ -146,6 +146,16 @@ class Table:
             files=files,
         )
 
+    def operation_snapshot(self, operation: str) -> Optional[int]:
+        """Snapshot id of the commit with exactly this operation string,
+        or None. Used to make job commits idempotent: a rerun of a job
+        whose commit already landed (driver died AFTER committing) must
+        be a no-op, not a second add of the same files."""
+        for sid in self.snapshot_ids():
+            if self.snapshot(sid).operation == operation:
+                return sid
+        return None
+
     def commit(
         self,
         operation: str,

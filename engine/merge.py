@@ -180,6 +180,12 @@ def merge_datasets_wide(
             mask = pa.array(np.isin(h, wmap[w]))
             sub = t.filter(mask).select([key, ts, w])
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
+        # two source rows can share (key, ts); keep ONE payload per pair
+        # or the attach join would emit duplicate merged rows
+        if len(out):
+            df = out.to_pandas()
+            df = df.drop_duplicates(subset=[key, ts], keep="first")
+            out = pa.Table.from_pandas(df, preserve_index=False).cast(out.schema)
         return out
 
     payloads = ds_factory().map_batches(
@@ -218,12 +224,11 @@ def merge_datasets_wide(
         lightf = df[df["__side"] == 0].drop(columns=["__side"] + wide_cols, errors="ignore")
         payf = df[df["__side"] == 1]
         for w in wide_cols:
-            m = payf[payf[w].notna()][[key, ts, w]]
-            lightf = lightf.merge(
-                m.rename(columns={ts: f"__wts_{w}"}),
-                how="left",
-                on=[key, f"__wts_{w}"],
-            )
+            m = payf[payf[w].notna()][[key, ts, w]].rename(columns={ts: f"__wts_{w}"})
+            # authoritative (key, ts)-tie dedup: the per-batch dedup in
+            # winning_payloads cannot see across batches
+            m = m.drop_duplicates(subset=[key, f"__wts_{w}"], keep="first")
+            lightf = lightf.merge(m, how="left", on=[key, f"__wts_{w}"])
         return lightf.drop(columns=wts_cols)[list(schema_names)]
 
     joined = light_keyed.union(payl_keyed).groupby("__bucket").map_groups(

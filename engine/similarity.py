@@ -23,10 +23,14 @@ import ray
 
 
 def _stack(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix."""
+    """list<float> column -> (n, d) float64 matrix; empty -> (0, 0)
+    (callers early-return on empty batches -- empty parquet files or
+    filtered-out blocks must contribute zero partials, not crash)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0))
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -56,7 +60,15 @@ def cosine_topk(
     qids = np.asarray(query_ids)
     qref = ray.put((q, qids))
 
+    def _empty_partial():
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+
     def partial_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_partial()
         qm, qi = ray.get(qref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -115,6 +127,11 @@ def cosine_dup_pairs(
     cref = ray.put((corpus_ids, corpus))
 
     def pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         cids, cmat = ray.get(cref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -190,6 +207,11 @@ def ivf_topk(
     ref = ray.put((c, q, qids, probe))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
         cm, qm, qi, pr = ray.get(ref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -252,6 +274,8 @@ def lsh_bucketed_pairs(
     """
 
     def sign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__bucket", pa.array([], pa.uint64()))
         x = _normalize(_stack(t.column(vec_col)))
         sig = hyperplane_signatures(x, num_bits)
         return t.append_column("__bucket", pa.array(sig, type=pa.uint64()))

@@ -56,10 +56,10 @@ class TextStats:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
         n_chars = s.str.len().astype("int64")
-        n_tokens = s.str.count(TOKEN_PATTERN).astype("int64")
-        n_words = s.str.count(WORD_PATTERN).astype("int64")
-        n_alpha = s.str.count(ALPHA_PATTERN).astype("int64")
-        n_punct = s.str.count(PUNCT_PATTERN).astype("int64")
+        n_tokens = s.str.count(self.tok).astype("int64")
+        n_words = s.str.count(self.word).astype("int64")
+        n_alpha = s.str.count(self.alpha).astype("int64")
+        n_punct = s.str.count(self.punct).astype("int64")
         n_stop = s.str.lower().str.count(self.stop_rx).astype("int64")
 
         nc = n_chars.to_numpy().astype(np.float64)

@@ -82,12 +82,19 @@ def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds:
 
     def win(t: pa.Table) -> pa.Table:
         tt = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # window start as epoch SECONDS (int64): integers hash/compare
-        # identically everywhere, unlike timestamp units
-        start = (tt // width_us) * (width_us // 1_000_000)
+        # window start computed in MICROseconds (exact for fractional
+        # widths -- an integer-seconds shortcut collapses sub-second
+        # windows to 0), then labeled in epoch seconds when the width is
+        # whole seconds (int labels hash identically everywhere) and in
+        # epoch microseconds otherwise.
+        start_us = (tt // width_us) * width_us
+        if width_us % 1_000_000 == 0:
+            label = start_us // 1_000_000
+        else:
+            label = start_us
         return pa.table(
             {
-                "window_start": pa.array(start, type=pa.int64()),
+                "window_start": pa.array(label, type=pa.int64()),
                 value: t.column(value),
             }
         )

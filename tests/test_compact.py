@@ -86,3 +86,14 @@ def test_compact_resume_after_injected_failure(tmp_table_root, ray_session):
     res2 = compact_table(t2, target_bytes=target, job_id="c2", stats_cols=("url", "lang"))
     assert res2["files_after"] == res["files_after"]
     assert t2.snapshot().total_rows == t.snapshot().total_rows
+
+
+def test_plan_bins_mixed_stat_types():
+    # regression: int __zkey stats next to str url stats raised TypeError
+    files = [
+        _entry("z1", 10, stats={"__zkey": [123, 456]}),
+        _entry("u1", 10, stats={"url": ["http://a", "http://b"]}),
+        _entry("z2", 10, stats={"__zkey": [789, 999]}),
+    ]
+    bins, untouched = plan_bins(files, target_bytes=100)
+    assert sum(len(b) for b in bins) + len(untouched) == 3

@@ -131,3 +131,34 @@ def test_exact_dedup_shuffle_matches_broadcast(ray_session):
     out = exact_dedup_shuffle(ds, num_buckets=4).to_pandas()
     assert sorted(out.doc_id) == [0, 2, 3, 4, 5]
     assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_content_hash_full_64_bits():
+    # regression: crc32+bijective-mix had only 32 bits of entropy; two
+    # crc32-colliding strings must now hash differently
+    from engine.dedup import content_hash_batch
+
+    a, b = "doc-29685295", "doc-32060020"
+    import zlib
+    assert zlib.crc32(a.encode()) == zlib.crc32(b.encode())  # crc collision
+    t = pa.table({"doc_id": [0, 1], "text": [a, b]})
+    h = content_hash_batch(t).column("__chash").to_pylist()
+    assert h[0] != h[1]
+
+
+def test_simhash_banding_recall_for_large_radius(ray_session):
+    # regression: fixed 4x16 banding misses pairs with hamming in (3, 8]
+    from engine.dedup import simhash_dup_pairs
+
+    sig_a, sig_b = 0x0, 0x0001000100010001  # hamming 4, differs in ALL 16-bit bands
+    sigs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "simhash": pa.array([sig_a, sig_b], pa.uint64()),
+            }
+        )
+    )
+    out = simhash_dup_pairs(None, max_hamming=8, sigs=sigs).to_pandas()
+    assert {(1, 2)} == {tuple(p) for p in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert out.hamming.tolist() == [4]

@@ -151,3 +151,30 @@ def test_merge_into_wide_payload_path(tmp_table_root, ray_session):
     a = got[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     b = exp[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_job_rerun_after_commit_is_noop(tmp_path, ray_session):
+    # regression: rerunning a COMPLETED job re-added its files (doubling
+    # the table); now the commit is idempotent per job_id
+    import pyarrow.parquet as pq
+    from engine.jobs import ingest_sharded
+    from engine.pages import synth_pages_table
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(synth_pages_table(100).slice(i * 50, 50), p)
+        paths.append(p)
+    t = Table.create(str(tmp_path / "t"))
+    r1 = ingest_sharded(t, paths, CFG, job_id="once")
+    r2 = ingest_sharded(t, paths, CFG, job_id="once")
+    assert r2.get("already_committed") is True
+    assert t.snapshot().total_rows == r1["rows"] == 100
+
+    # same for compaction
+    from engine.jobs import compact
+
+    r3 = compact(t, CFG, target_bytes=10 << 20, job_id="c-once")
+    r4 = compact(t, CFG, target_bytes=10 << 20, job_id="c-once")
+    assert r4.get("already_committed") is True
+    assert t.snapshot().total_rows == 100

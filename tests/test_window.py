@@ -64,3 +64,15 @@ def test_tumbling_window(ray_session):
     assert out.sum_value.tolist() == [3.0, 3.0, 4.0]
     # window_start is epoch seconds aligned to the hour
     assert (out.window_start % 3600 == 0).all()
+
+
+def test_tumbling_subsecond_width(ray_session):
+    # regression: integer-seconds label math collapsed sub-second windows
+    t = pa.table(
+        {
+            "ts": pa.array([_ts(0), _ts(0) + dt.timedelta(milliseconds=600)], pa.timestamp("us")),
+            "value": [1.0, 2.0],
+        }
+    )
+    out = tumbling_window_agg(ray.data.from_arrow(t), width_seconds=0.5)
+    assert len(out) == 2  # two distinct 500ms windows

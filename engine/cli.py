@@ -105,7 +105,9 @@ def main(argv=None) -> int:
         t = Table.create(args.table)
         ds, fields, errors = ingest_csv(accepted, id_field=args.id_field)
         entries = write_files(ds, t.data_dir, prefix="csv", stats_cols=())
-        snap = t.commit("ingest-csv", add_files=entries)
+        from engine.jobs import _entries_schema
+
+        snap = t.commit("ingest-csv", add_files=entries, schema=_entries_schema(entries))
         out = {
             "snapshot_id": snap.snapshot_id,
             "rows": snap.total_rows,

@@ -80,11 +80,19 @@ def _parse_strict(sample: str, delimiter: str, quotechar: str) -> List[List[str]
 
 def pattern_score(rows: List[List[str]]) -> float:
     """P = (1/K) * sum_k N_k * max(alpha, L_k - 1) / L_k over the row-width
-    histogram (K distinct widths)."""
+    histogram (K distinct widths).
+
+    A zero-width row (blank line mid-sample) raises ZeroDivisionError
+    ON PURPOSE: the reference computes numerator/length unguarded
+    (dialect_detector.py:135), its per-candidate broad except disquali-
+    fies the candidate, and the search falls back to excel. Guarding
+    here would silently pick a different dialect than the reference for
+    any sample containing a blank line (observable parity break).
+    """
     if not rows:
         return 0.0
     counts = Counter(len(r) for r in rows)
-    total = sum(n * (max(ALPHA, length - 1) / length) for length, n in counts.items() if length)
+    total = sum(n * (max(ALPHA, length - 1) / length) for length, n in counts.items())
     return total / len(counts)
 
 
@@ -105,10 +113,15 @@ def detect_dialect(content: str, sample_bytes: int = DIALECT_SAMPLE_BYTES) -> Di
     best_q = -1.0
     for d in CANDIDATE_DELIMITERS:
         for q in CANDIDATE_QUOTECHARS:
-            rows = _parse_strict(sample, d, q)
-            if not rows:
+            try:
+                rows = _parse_strict(sample, d, q)
+                if not rows:
+                    continue
+                score = pattern_score(rows) * type_score(rows)
+            except Exception:
+                # reference: broad except disqualifies the candidate
+                # (e.g. ZeroDivisionError from a blank line)
                 continue
-            score = pattern_score(rows) * type_score(rows)
             if score > best_q:
                 best_q = score
                 best = (d, q)

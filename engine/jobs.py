@@ -95,7 +95,7 @@ def _shuffle_blocks(table: Table) -> int:
 def ingest(
     table: Table,
     source,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     sanitize_cols=("text",),
     rows_per_file: Optional[int] = None,
     job_id: Optional[str] = None,
@@ -105,6 +105,7 @@ def ingest(
     inherited from immutability: inputs are never mutated, and a failed
     job commits nothing (reference: raw blob persisted before
     processing, ``file_service.py:32-35``)."""
+    cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
     ds = evolved_read(source) if isinstance(source, (list, tuple)) else source
     if sanitize_cols:
@@ -123,7 +124,7 @@ def ingest(
 def ingest_sharded(
     table: Table,
     paths: list,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     job_id: str = "ingest",
     shard_files: int = 16,
     sanitize_cols=("text",),
@@ -140,6 +141,7 @@ def ingest_sharded(
 
     ``failpoint_after``: test hook, crash after N shards committed.
     """
+    cfg = cfg if cfg is not None else EngineConfig()
     prior = table.operation_snapshot(f"ingest:{job_id}")
     if prior is not None:
         snap = table.snapshot(prior)
@@ -196,7 +198,7 @@ def ingest_sharded(
 
 def merge_into(
     table: Table,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     source=None,
     job_id: Optional[str] = None,
 ) -> dict:
@@ -204,8 +206,11 @@ def merge_into(
     source Dataset) collapsed to one row per url, LWW by warc_ts with
     non-empty coalesce; NULL-url rows pass through. Rewrites the table
     (new files, old files stay until expiration -- snapshot isolation)."""
+    cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
-    blocks = _shuffle_blocks(table)
+    # bytes/CPU-derived bucket count, with cfg.merge_buckets as a FLOOR
+    # (the user's hot-bucket / skew knob: raising it always takes effect)
+    blocks = max(_shuffle_blocks(table), int(cfg.merge_buckets or 0))
 
     def build():
         ds = table.scan()
@@ -234,11 +239,12 @@ def merge_into(
 
 def compact(
     table: Table,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     target_bytes: Optional[int] = None,
     job_id: Optional[str] = None,
     **kwargs,
 ) -> dict:
+    cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
     return compact_mod.compact_table(
         table,
@@ -252,12 +258,13 @@ def compact(
 
 def cluster(
     table: Table,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     rows_per_file: Optional[int] = None,
     job_id: Optional[str] = None,
 ) -> dict:
     """Z-order/Hilbert clustering rewrite: compute zkey -> range-partition
     sort -> write files (zkey min/max recorded per file) -> snapshot."""
+    cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
     ds = table.scan()
     codes = collect_lang_codes(ds)
@@ -275,7 +282,8 @@ def cluster(
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
 
 
-def expire(table: Table, cfg: EngineConfig = EngineConfig(), now: Optional[float] = None) -> dict:
+def expire(table: Table, cfg: Optional[EngineConfig] = None, now: Optional[float] = None) -> dict:
+    cfg = cfg if cfg is not None else EngineConfig()
     return table.expire_snapshots(cfg.snapshot_ttl_seconds, now=now)
 
 
@@ -293,10 +301,11 @@ def dump_csv(table: Table, out_dir: str, columns: Optional[list] = None) -> str:
     return out_dir
 
 
-def normalize_stage(ds, cfg: EngineConfig = EngineConfig(), simhash: bool = True):
+def normalize_stage(ds, cfg: Optional[EngineConfig] = None, simhash: bool = True):
     """The north-star normalization chain: quality stats -> language id
     -> simhash content signature, all elastic map stages over the text
     column (see ARCHITECTURE.md section 1)."""
+    cfg = cfg if cfg is not None else EngineConfig()
     import pyarrow as pa_mod
 
     from engine.dedup import simhash_batch
@@ -318,7 +327,7 @@ def normalize_stage(ds, cfg: EngineConfig = EngineConfig(), simhash: bool = True
 def full_maintenance(
     table_root: str,
     source,
-    cfg: EngineConfig = EngineConfig(),
+    cfg: Optional[EngineConfig] = None,
     target_bytes: Optional[int] = None,
     rows_per_file: Optional[int] = None,
     normalize: bool = False,
@@ -326,6 +335,7 @@ def full_maintenance(
     """The flagship pipeline (SURVEY 3.1 engine trace): ingest [+
     normalize] -> MERGE -> compact -> cluster, each committing its own
     snapshot."""
+    cfg = cfg if cfg is not None else EngineConfig()
     table = Table.create(table_root)
     if isinstance(source, (list, tuple)):
         source = evolved_read(source)

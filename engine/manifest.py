@@ -232,8 +232,22 @@ class Table:
             schema = self.arrow_schema(snapshot_id)
             return ray.data.from_arrow(schema.empty_table() if schema else pa.table({}))
         if columns is None:
-            # default scan hides engine-internal ("__"-prefixed) columns
-            # (e.g. the persisted cluster key) -- one footer read.
+            # default scan: visible columns come from the MANIFEST schema
+            # (authoritative across schema-evolved files -- the first
+            # file's footer may lack later columns or carry engine
+            # internals). Read with the FULL manifest schema (files
+            # missing an evolved column surface nulls; Ray's parquet
+            # reader rejects a partial schema combined with column
+            # pruning), then project away "__"-prefixed internals.
+            mschema = self.arrow_schema(snapshot_id)
+            if mschema is not None and len(mschema) > 0:
+                visible = [n for n in mschema.names if not n.startswith("__")]
+                ds = ray.data.read_parquet(
+                    [f.path for f in files], schema=mschema, **read_kwargs
+                )
+                if visible != list(mschema.names):
+                    ds = ds.select_columns(visible)
+                return ds
             import pyarrow.parquet as pq
 
             names = pq.read_schema(files[0].path).names
@@ -318,12 +332,28 @@ class Table:
         }
 
     def gc_orphans(self) -> list:
-        """Delete data files referenced by NO snapshot (failed-task debris;
-        safe because commits only reference fully-written files)."""
+        """Delete data files referenced by NO snapshot AND NO job
+        lineage log. The second condition is load-bearing: a crashed
+        resumable job's committed partitions exist only in its JobLog
+        until the final snapshot commit -- deleting them would make the
+        job's later resume commit a snapshot pointing at missing files."""
         live = set()
         for sid in self.snapshot_ids():
             for fe in self.snapshot(sid).files:
                 live.add(os.path.abspath(fe.path))
+        if os.path.isdir(self.jobs_dir):
+            for name in os.listdir(self.jobs_dir):
+                if not name.endswith(".jsonl"):
+                    continue
+                with open(os.path.join(self.jobs_dir, name)) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        entry = json.loads(line)
+                        for out in entry.get("output_files", []):
+                            p = out.get("path") if isinstance(out, dict) else out
+                            if p:
+                                live.add(os.path.abspath(p))
         removed = []
         for name in os.listdir(self.data_dir):
             p = os.path.abspath(os.path.join(self.data_dir, name))

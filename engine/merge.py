@@ -81,11 +81,11 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
             empty = col.map(lambda v: v == "" or v == b"", na_action="ignore")
             empty = empty.fillna(False).astype(bool)
             masked[c] = col.where(col.notna() & ~empty)
-    # groupby.last skips missing values -> "latest non-empty"
+    # groupby.last skips missing values -> "latest non-empty"; fillna
+    # from the anchor covers the all-missing case (anchor's literal,
+    # possibly empty, value -- csv_handler.py:86-89)
     last_nonempty = masked.groupby(key, sort=False).last()
     out = last_nonempty.fillna(anchor[value_cols])
-    # all-missing columns fall back to the anchor's literal (possibly empty) value
-    out = out.where(out.notna(), anchor[value_cols])
     return out.reset_index()[df.columns.tolist()]
 
 
@@ -146,15 +146,17 @@ def merge_datasets_wide(
         df = df.drop(columns=["__bucket"])
         merged = merge_fold(df.drop(columns=has_cols), key, ts)
         s = df.sort_values(ts, kind="stable")
+        anchor_ts = s.groupby(key, sort=False)[ts].first()  # loop-invariant
         for w in wide_cols:
-            anchor_ts = s.groupby(key, sort=False)[ts].first()
             wts = s[s[f"__has_{w}"]].groupby(key, sort=False)[ts].last()
             winner = anchor_ts.copy()
             winner.update(wts)
             merged[f"__wts_{w}"] = merged[key].map(winner)
         return merged
 
-    merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+    # materialize: merged_light is consumed twice (winner collection +
+    # attach); without pinning, the whole phase-A shuffle re-executes
+    merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas").materialize()
 
     # winner set per wide column, as sorted uint64 hashes of (key, ts)
     # pairs -> broadcast; membership checks are then one vectorized

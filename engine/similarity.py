@@ -89,10 +89,7 @@ def cosine_topk(
             out_id.append(ids[top])
             out_s.append(col[top])
         if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            )
+            return _empty_partial()
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

@@ -28,7 +28,10 @@ from engine.merge import _add_bucket
 
 def _sessionize_frame(df: pd.DataFrame, key: str, ts: str, gap_us: int) -> pd.DataFrame:
     df = df.sort_values([key, ts], kind="stable")
-    t = df[ts].astype("int64")
+    # normalize to MICROsecond epoch regardless of source unit: pandas
+    # defaults to ns timestamps, and raw astype(int64) would compare ns
+    # against gap_us (1000x off -> every event its own session)
+    t = pd.to_datetime(df[ts]).astype("datetime64[us]").astype("int64")
     new_key = df[key] != df[key].shift()
     gap_break = (t - t.shift()) > gap_us
     df["session_seq"] = (new_key | gap_break).groupby(df[key].to_numpy()).cumsum().astype("int64") - 1
@@ -81,7 +84,7 @@ def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds:
     width_us = int(width_seconds * 1_000_000)
 
     def win(t: pa.Table) -> pa.Table:
-        tt = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tt = t.column(ts).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         # window start computed in MICROseconds (exact for fractional
         # widths -- an integer-seconds shortcut collapses sub-second
         # windows to 0), then labeled in epoch seconds when the width is

@@ -106,3 +106,32 @@ def test_scan_hides_internal_columns(tmp_table_root):
     d = write_block(tbl, t.data_dir, "x", filename="z.parquet")
     t.commit("ingest", [FileEntry.from_json(d)])
     assert t.scan().schema().names == ["url"]
+
+
+def test_gc_orphans_spares_joblog_outputs(tmp_table_root):
+    # regression: a crashed resumable job's outputs live only in the
+    # JobLog until final commit; GC must not delete them
+    t = Table.create(tmp_table_root)
+    fe = _mk_file(t, "shard-out.parquet")
+    JobLog(t, "jobX").record("shard-0", ["in1"], [fe.to_json()], rows=fe.rows)
+    removed = t.gc_orphans()
+    assert removed == []
+    assert os.path.exists(fe.path)
+
+
+def test_scan_uses_manifest_schema_across_evolution(tmp_table_root, ray_session):
+    # regression: default scan took visible columns from the FIRST
+    # file's footer, dropping schema-evolved columns
+    import pyarrow.parquet as pq
+
+    t = Table.create(tmp_table_root)
+    a = pa.table({"url": ["u1"], "__zkey": pa.array([1], pa.uint64())})
+    b = pa.table({"url": ["u2"], "lang": ["en"]})
+    from engine.writer import write_block
+
+    fa = FileEntry.from_json(write_block(a, t.data_dir, "x", filename="a.parquet"))
+    fb = FileEntry.from_json(write_block(b, t.data_dir, "x", filename="b.parquet"))
+    t.commit("ingest", [fa, fb], schema=pa.schema([("url", pa.string()), ("lang", pa.string()), ("__zkey", pa.uint64())]))
+    df = t.scan().to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df.columns) == ["url", "lang"]  # hidden col dropped, evolved col kept
+    assert df.lang.tolist()[1] == "en" and df.lang.isna().tolist()[0]

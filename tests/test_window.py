@@ -76,3 +76,12 @@ def test_tumbling_subsecond_width(ray_session):
     )
     out = tumbling_window_agg(ray.data.from_arrow(t), width_seconds=0.5)
     assert len(out) == 2  # two distinct 500ms windows
+
+
+def test_sessionize_handles_ns_timestamps():
+    # regression: ns-unit ts compared against gap in us split every
+    # event into its own session
+    df = _events().to_pandas()
+    df["ts"] = df["ts"].astype("datetime64[ns]")
+    out = _sessionize_frame(df, "user_id", "ts", gap_us=30 * 60 * 1_000_000)
+    assert out[out.user_id == 1].session_seq.tolist() == [0, 0, 1, 1]

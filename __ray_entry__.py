@@ -319,6 +319,35 @@ def _q_salted_lang_counts(sf_dir: str):
     return out
 
 
+def _q_asof_join(sf_dir: str):
+    """Point-in-time (as-of) join: each event matched to the customer's
+    latest order at-or-before the event time (bucketed pd.merge_asof;
+    right side pre-deduped per (key, date) so ties are well-defined)."""
+    import pyarrow as pa
+    import ray.data
+    from engine.asof import asof_join
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def dedupe_right(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+            .max()
+        )
+        return pa.Table.from_pandas(
+            df.rename(columns={"o_custkey": "user_id"}), preserve_index=False
+        )
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .repartition(1)
+        .map_batches(dedupe_right, batch_format="pyarrow", batch_size=None)
+    )
+    out = asof_join(events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate", num_buckets=16)
+    return out.select_columns(["event_id", "o_orderkey"])
+
+
 def _q_sessions_per_user(sf_dir: str):
     """Session-window aggregate over the events log (SURVEY 2.9)."""
     import ray.data
@@ -488,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "lineitem_pricing": _q_lineitem_pricing,
         "salted_lang_counts": _q_salted_lang_counts,
+        "asof_join": _q_asof_join,
         "sessions_per_user": _q_sessions_per_user,
         "tumbling_hourly": _q_tumbling_hourly,
         "quality_filter": _q_quality_filter,
@@ -640,6 +670,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "asof_join": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
         "sessions_per_user": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
             "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "

@@ -1,0 +1,100 @@
+"""As-of join: for each left row, the latest right row of the same key
+with ``right_ts <= left_ts`` (the classic point-in-time join; a custom
+operator Ray Data lacks, built per the documented pattern: hash-bucket
+both sides by key, sort within bucket, ``pd.merge_asof`` per bucket).
+
+Partitioning assumption (documented per the brief): all rows of one key
+land in one bucket on BOTH sides (guaranteed by the shared key hash);
+each bucket must fit a worker's heap -- size ``num_buckets`` like the
+MERGE shuffle. Exchange volume: both sides move once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.merge import _add_bucket
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+):
+    """Left as-of join (backward): every left row kept; right columns
+    null when no right row of that key precedes it.
+
+    Implementation: tag sides, align to a superset schema, union, ONE
+    bucket shuffle, per-bucket ``pd.merge_asof`` (C kernel) over the
+    key-sorted frames.
+    """
+    from engine.jobs import align_to_schema
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    right_value_cols = [n for n in rschema.names if n != key]
+    out_right_names = {
+        n: (n + suffix if n in lschema.names else n) for n in right_value_cols
+    }
+
+    union_fields = [(n, ltypes[n]) for n in lschema.names]
+    for n in right_value_cols:
+        union_fields.append((out_right_names[n], rtypes[n]))
+    union_schema = pa.schema(union_fields + [("__side", pa.int8())])
+    data_schema = union_schema.remove(union_schema.get_field_index("__side"))
+
+    def align_and_tag(side, rename):
+        def f(t: pa.Table) -> pa.Table:
+            if rename:
+                t = t.rename_columns([out_right_names.get(n, n) for n in t.column_names])
+            out = align_to_schema(t, data_schema)
+            return out.append_column("__side", pa.array([side] * len(out), pa.int8()))
+
+        return f
+
+    tagged = left.map_batches(align_and_tag(0, False), batch_format="pyarrow").union(
+        right.map_batches(align_and_tag(1, True), batch_format="pyarrow")
+    )
+    keyed = tagged.map_batches(
+        _add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"key": key, "num_buckets": num_buckets},
+    )
+
+    rts_out = out_right_names.get(right_ts, right_ts)
+    out_cols = [n for n, _ in union_fields]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"])
+        l = df[df["__side"] == 0][list(lschema.names)].sort_values(left_ts, kind="stable")
+        r = (
+            df[df["__side"] == 1][[key] + [out_right_names[n] for n in right_value_cols]]
+            .sort_values(rts_out, kind="stable")
+        )
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        if r.empty:
+            out = l.copy()
+            for n in right_value_cols:
+                out[out_right_names[n]] = None
+            return out[out_cols]
+        out = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=rts_out, by=key, direction="backward"
+        )
+        return out[out_cols]
+
+    joined = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+    # the union pass floats int columns (nulls on the other side); cast
+    # the result back to the declared schema
+    return joined.map_batches(
+        lambda t: align_to_schema(t, data_schema), batch_format="pyarrow"
+    )

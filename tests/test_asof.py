@@ -1,0 +1,78 @@
+"""As-of join: bucketed merge_asof vs hand expectations and pandas."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from engine.asof import asof_join
+
+
+def _ts(d):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(days=d)
+
+
+def test_asof_backward_semantics(ray_session):
+    left = pa.table(
+        {
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([10, 10, 10, 20], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(5), _ts(9), _ts(2)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, 10, 30], pa.int64()),
+            "rts": pa.array([_ts(2), _ts(6), _ts(0)], pa.timestamp("us")),
+            "val": pa.array([100, 200, 999], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  key="k", left_ts="ts", right_ts="rts", num_buckets=4)
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid1: no right row <= d1 -> null; eid2: d2 row; eid3: d6 row;
+    # eid4: key 20 has no right rows -> null
+    assert out.val.tolist()[0] != out.val.tolist()[0] or out.val.isna().tolist() == [True, False, False, True]
+    assert out.val.dropna().tolist() == [100.0, 200.0]
+    assert len(out) == 4  # every left row kept
+
+
+def test_asof_matches_pandas_global(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 500, 200
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(n_l),
+            "k": rng.integers(0, 20, n_l),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s").astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n_r),
+            "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s").astype("datetime64[us]"),
+            "val": np.arange(n_r),
+        }
+    ).drop_duplicates(subset=["k", "rts"])
+    got = (
+        asof_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k", direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["eid", "val"]], exp[["eid", "val"]])

@@ -39,18 +39,21 @@ def pattern_score_distributed(ds, width_col: str) -> float:
     )
     if hist.empty:
         return 0.0
+    # zero-width rows raise ZeroDivisionError like infer.pattern_score
+    # (reference parity: a blank row disqualifies the candidate)
     score = sum(
         row["sum(n)"] * (max(ALPHA, row["width"] - 1) / row["width"])
         for _, row in hist.iterrows()
-        if row["width"]
     )
     return score / len(hist)
 
 
-def ratio_distributed(ds, num_col: str, den_col: str) -> float:
-    """A3-shape: global ratio from per-batch (numerator, denominator)
-    partials -- classic partial+final."""
-    parts = ds.to_pandas()
+def ratio_distributed(partials_ds, num_col: str, den_col: str) -> float:
+    """Final step of the A3 partial+final pattern: ``partials_ds`` must
+    already be per-batch partial rows (one (numerator, denominator) row
+    per batch, e.g. produced like ``__ray_entry__._q_type_score``), so
+    materializing it is O(batches), not O(rows)."""
+    parts = partials_ds.to_pandas()
     den = parts[den_col].sum()
     return float(parts[num_col].sum() / den) if den else 0.0
 

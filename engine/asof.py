@@ -7,6 +7,12 @@ Partitioning assumption (documented per the brief): all rows of one key
 land in one bucket on BOTH sides (guaranteed by the shared key hash);
 each bucket must fit a worker's heap -- size ``num_buckets`` like the
 MERGE shuffle. Exchange volume: both sides move once.
+
+Known limitation: the tagged-union pass converts each side's int64
+columns to float64 where the other side contributes nulls, so raw int64
+VALUES above 2^53 lose precision through the fold (the final cast back
+to int64 cannot restore lost bits). Use timestamp dtypes for the ts
+columns (they round-trip exactly); int64 ids up to 2^53 are exact.
 """
 
 from __future__ import annotations
@@ -73,6 +79,12 @@ def asof_join(
     rts_out = out_right_names.get(right_ts, right_ts)
     out_cols = [n for n, _ in union_fields]
 
+    def _unmatched(l: pd.DataFrame) -> pd.DataFrame:
+        out = l.copy()
+        for n in right_value_cols:
+            out[out_right_names[n]] = None
+        return out[out_cols]
+
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
         l = df[df["__side"] == 0][list(lschema.names)].sort_values(left_ts, kind="stable")
@@ -82,15 +94,27 @@ def asof_join(
         )
         if l.empty:
             return pd.DataFrame(columns=out_cols)
-        if r.empty:
-            out = l.copy()
-            for n in right_value_cols:
-                out[out_right_names[n]] = None
-            return out[out_cols]
-        out = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=rts_out, by=key, direction="backward"
-        )
-        return out[out_cols]
+        # SQL join semantics: NULLs never match. pd.merge_asof would
+        # happily match NaN by-keys and RAISES on null timestamps, so
+        # null-key/null-ts left rows pass through unmatched and
+        # null-key/null-ts right rows are dropped.
+        l_bad = l[key].isna() | (l[key] == "") | l[left_ts].isna()
+        r_ok = r[~(r[key].isna() | (r[key] == "") | r[rts_out].isna())]
+        l_ok = l[~l_bad]
+        parts = []
+        if l_bad.any():
+            parts.append(_unmatched(l[l_bad]))
+        if not l_ok.empty:
+            if r_ok.empty:
+                parts.append(_unmatched(l_ok))
+            else:
+                parts.append(
+                    pd.merge_asof(
+                        l_ok, r_ok, left_on=left_ts, right_on=rts_out, by=key,
+                        direction="backward",
+                    )[out_cols]
+                )
+        return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(columns=out_cols)
 
     joined = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
     # the union pass floats int columns (nulls on the other side); cast

@@ -89,11 +89,16 @@ def main(argv=None) -> int:
         )
     elif args.cmd == "ingest":
         t = Table.create(args.table)
+        import uuid as _uuid
+
+        # a CONSTANT default job_id would make a second ingest on the
+        # same table a silent already-committed no-op; resumability is
+        # opted into by passing an explicit --job-id
         out = jobs.ingest_sharded(
             t,
             list(args.input),
             cfg,
-            job_id=args.job_id or "cli",
+            job_id=args.job_id or f"cli-{_uuid.uuid4().hex[:8]}",
             shard_files=args.shard_files,
             sanitize_cols=() if args.no_sanitize else ("text",),
         )

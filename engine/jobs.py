@@ -267,9 +267,12 @@ def cluster(
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
     ds = table.scan()
-    codes = collect_lang_codes(ds)
+    codes = collect_lang_codes(ds, col=cfg.cluster_cols[0])
     blocks = _shuffle_blocks(table)
-    clustered = cluster_dataset(table.scan().repartition(blocks), codes, curve=cfg.cluster_curve)
+    clustered = cluster_dataset(
+        table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
+        cols=tuple(cfg.cluster_cols),
+    )
     entries = write_files(
         clustered,
         table.data_dir,

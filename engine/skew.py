@@ -66,11 +66,18 @@ def add_salt(ds, col: str, heavy: dict, salt_buckets: int = 8):
     return ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def salted_group_count(ds, col: str, threshold_rows: int = 1_000_000, salt_buckets: int = 8):
+def salted_group_count(ds, col: str, threshold_rows: int = None, salt_buckets: int = None, cfg=None):
     """Grouped count with explicit salt-split of dominant keys:
     groupby([key, salt]) -> per-salt partials -> driver-side (tiny)
     final merge. Demonstrates the decomposable-aggregate pattern; the
-    same shape applies to min/max/sum stats maintenance."""
+    same shape applies to min/max/sum stats maintenance. Thresholds
+    default from EngineConfig (salt_threshold_rows / salt_buckets)."""
+    if cfg is None:
+        from engine.config import EngineConfig
+
+        cfg = EngineConfig()
+    threshold_rows = threshold_rows if threshold_rows is not None else cfg.salt_threshold_rows
+    salt_buckets = salt_buckets if salt_buckets is not None else cfg.salt_buckets
     heavy = detect_heavy_keys(ds, col, threshold_rows)
     salted = add_salt(ds.select_columns([col]), col, heavy, salt_buckets)
     partials = salted.groupby([col, "__salt"]).count().to_pandas()

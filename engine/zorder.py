@@ -4,9 +4,10 @@ The cluster key is a 64-bit space-filling-curve index over
 
 - ``x`` = dictionary code of ``lang`` (driver collects the distinct set
   once -- tiny -- and broadcasts it into the map tasks), and
-- ``y`` = the first 8 bytes of the url after its scheme, interpreted
-  big-endian (lexicographic order preserved -> min/max url stats of the
-  clustered files are tight, enabling manifest-level pruning).
+- ``y`` = the first 4 bytes of the url after its scheme and any
+  leading "www.", interpreted big-endian (lexicographic order
+  preserved -> min/max url stats of the clustered files are tight,
+  enabling manifest-level pruning).
 
 Both the bit-interleave (Morton) and the Hilbert index are computed with
 numpy uint64 kernels inside ``map_batches(zero_copy_batch=True)`` -- no
@@ -79,12 +80,17 @@ def hilbert_index(x: np.ndarray, y: np.ndarray, order: int = 32) -> np.ndarray:
 
 
 def url_sort_key32(url_arr) -> np.ndarray:
-    """First 8 post-scheme bytes of each url, big-endian -> top 32 bits.
+    """First 4 bytes of each url AFTER scheme and "www." -- big-endian
+    uint32, so lexicographic url order is preserved within the prefix
+    and z-clustered files carry tight url min/max stats for pruning.
 
-    Preserves lexicographic order of urls (within the 8-byte prefix), so
-    z-clustered files carry tight url min/max stats for pruning.
+    Stripping "www." matters: on real web corpora most urls share it,
+    which would collapse the url coordinate to a constant and degrade
+    the curve to lang-only clustering.
     """
-    stripped = pc.replace_substring_regex(url_arr, pattern="^https?://", replacement="")
+    stripped = pc.replace_substring_regex(
+        url_arr, pattern="^https?://(www\\.)?", replacement=""
+    )
     sliced = pc.utf8_slice_codeunits(pc.fill_null(stripped, ""), 0, 8)
     ser = sliced.to_pandas().str.encode("utf-8", errors="replace")
     fixed = np.asarray(ser.tolist(), dtype="S8")  # zero-padded/truncated to 8 bytes
@@ -95,12 +101,17 @@ def url_sort_key32(url_arr) -> np.ndarray:
 
 
 def add_cluster_key(
-    batch: pa.Table, lang_codes: dict, curve: str = "zorder"
+    batch: pa.Table, lang_codes: dict, curve: str = "zorder",
+    cols: tuple = ("lang", "url"),
 ) -> pa.Table:
-    """map_batches body: append the 64-bit cluster key column."""
-    langs = batch.column("lang").to_pandas()
+    """map_batches body: append the 64-bit cluster key column.
+
+    ``cols`` = (dictionary-coded column, string-prefix column); defaults
+    to the north_rule's (lang, url)."""
+    code_col, str_col = cols
+    langs = batch.column(code_col).to_pandas()
     x = langs.map(lang_codes).fillna(len(lang_codes)).to_numpy(dtype=np.uint64)
-    y = url_sort_key32(batch.column("url"))
+    y = url_sort_key32(batch.column(str_col))
     if curve == "hilbert":
         key = hilbert_index(x, y)
     else:
@@ -108,23 +119,23 @@ def add_cluster_key(
     return batch.append_column(ZKEY_COL, pa.array(key, type=pa.uint64()))
 
 
-def collect_lang_codes(ds) -> dict:
-    """Driver-side: distinct langs -> dense codes (broadcast to tasks).
-
-    The distinct set is tiny (ISO codes); ``unique`` is a shuffle of
-    pre-aggregated partials, cheap at any scale.
+def collect_lang_codes(ds, col: str = "lang") -> dict:
+    """Driver-side: distinct codes of the dictionary column -> dense
+    ints (broadcast to tasks). The distinct set is tiny (ISO codes);
+    ``unique`` is a shuffle of pre-aggregated partials, cheap at any
+    scale.
     """
-    vals = sorted(v for v in ds.unique("lang") if v is not None)
+    vals = sorted(v for v in ds.unique(col) if v is not None)
     return {v: i for i, v in enumerate(vals)}
 
 
-def cluster_dataset(ds, lang_codes: dict, curve: str = "zorder"):
+def cluster_dataset(ds, lang_codes: dict, curve: str = "zorder", cols: tuple = ("lang", "url")):
     """Attach key computation + range-partitioning sort; key column is
     kept so the writer can record per-file zkey stats (dropped at scan)."""
     keyed = ds.map_batches(
         add_cluster_key,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"lang_codes": lang_codes, "curve": curve},
+        fn_kwargs={"lang_codes": lang_codes, "curve": curve, "cols": cols},
     )
     return keyed.sort(ZKEY_COL)

@@ -76,3 +76,30 @@ def test_asof_matches_pandas_global(ray_session):
         left_on="ts", right_on="rts", by="k", direction="backward",
     ).sort_values("eid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["eid", "val"]], exp[["eid", "val"]])
+
+
+def test_asof_null_keys_and_ts_pass_through_unmatched(ray_session):
+    # SQL semantics: NULLs never match; null left ts must not abort
+    left = pa.table(
+        {
+            "eid": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([10, None, 10], pa.int64()),
+            "ts": pa.array([_ts(5), _ts(5), None], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, None], pa.int64()),
+            "rts": pa.array([_ts(1), _ts(1)], pa.timestamp("us")),
+            "val": pa.array([100, 999], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  key="k", left_ts="ts", right_ts="rts", num_buckets=4)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out.val.tolist()[0] == 100     # normal match
+    assert pd.isna(out.val.tolist()[1])   # null key -> unmatched (never 999)
+    assert pd.isna(out.val.tolist()[2])   # null ts -> unmatched, no crash

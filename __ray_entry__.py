@@ -319,6 +319,21 @@ def _q_salted_lang_counts(sf_dir: str):
     return out
 
 
+def _q_range_join(sf_dir: str):
+    """Interval join: classify each event's value into fixed bands via a
+    broadcast sorted-interval searchsorted (no shuffle)."""
+    import pandas as pd
+    import ray.data
+    from engine.lookup import range_join
+
+    iv = pd.DataFrame(
+        {"lo": [0.0, 10.0, 100.0], "hi": [10.0, 100.0, 1e9], "band": ["low", "mid", "high"]}
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = range_join(ds, iv, "value", "lo", "hi", attach=["band"])
+    return out.select_columns(["event_id", "band"])
+
+
 def _q_asof_join(sf_dir: str):
     """Point-in-time (as-of) join: each event matched to the customer's
     latest order at-or-before the event time (bucketed pd.merge_asof;
@@ -518,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "salted_lang_counts": _q_salted_lang_counts,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "sessions_per_user": _q_sessions_per_user,
         "tumbling_hourly": _q_tumbling_hourly,
         "quality_filter": _q_quality_filter,
@@ -675,6 +691,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1, 2) "
             "SELECT e.event_id, o.o_orderkey FROM events e "
             "ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "range_join": (
+            "WITH iv(lo, hi, band) AS (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), "
+            "(100.0, 1000000000.0, 'high')) "
+            "SELECT e.event_id, iv.band FROM events e "
+            "LEFT JOIN iv ON e.value >= iv.lo AND e.value < iv.hi"
         ),
         "sessions_per_user": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "

@@ -45,6 +45,91 @@ def broadcast_join(
     return ds.map_batches(attach, batch_format="pandas")
 
 
+def range_join(
+    ds,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    attach: Optional[list] = None,
+):
+    """Interval (range) join: attach the interval containing each row's
+    value (``lo <= v < hi``). The interval table is broadcast sorted;
+    each batch does ONE vectorized ``np.searchsorted`` -- no shuffle,
+    O(log n_intervals) per row. Intervals must be non-overlapping;
+    values outside every interval get nulls (left-join semantics).
+    """
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    attach = attach if attach is not None else [c for c in iv.columns]
+    iv_ref = ray.put(iv[sorted(set(attach) | {lo_col, hi_col})])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(iv_ref)
+        lows = table[lo_col].to_numpy()
+        highs = table[hi_col].to_numpy()
+        v = df[value_col].to_numpy()
+        pos = np.searchsorted(lows, v, side="right") - 1
+        valid = (pos >= 0) & (v < highs[np.clip(pos, 0, len(highs) - 1)])
+        out = df.copy()
+        for c in attach:
+            vals = table[c].to_numpy()[np.clip(pos, 0, len(table) - 1)]
+            col = pd.Series(vals, index=df.index)
+            out[c] = col.where(pd.Series(valid, index=df.index))
+        return out
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def make_bloom(keys, num_bits: int = 1 << 20, num_hashes: int = 4) -> np.ndarray:
+    """Deterministic Bloom filter (packed bit array) over a key set --
+    the broadcastable semi-join filter when the exact key set is too
+    large to ship (SURVEY 2.4 'semi/anti join: broadcast a Bloom filter
+    of the key set'). False-positive rate ~ (1-e^(-kn/m))^k."""
+    import hashlib
+
+    bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+    for k in keys:
+        d = hashlib.blake2b(str(k).encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for i in range(num_hashes):
+            pos = (h1 + i * h2) % num_bits
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits
+
+
+def _bloom_contains(bits: np.ndarray, keys, num_bits: int, num_hashes: int) -> np.ndarray:
+    import hashlib
+
+    out = np.zeros(len(keys), dtype=bool)
+    for j, k in enumerate(keys):
+        d = hashlib.blake2b(str(k).encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        hit = True
+        for i in range(num_hashes):
+            pos = (h1 + i * h2) % num_bits
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                hit = False
+                break
+        out[j] = hit
+    return out
+
+
+def bloom_semi_join(ds, keys, col: str, num_bits: int = 1 << 20, num_hashes: int = 4):
+    """Approximate semi-join: keeps all true members plus ~FP-rate
+    stragglers (callers needing exactness chain an exact filter after;
+    the Bloom pass eliminates ~99.9%+ of rows first)."""
+    bits_ref = ray.put(make_bloom(keys, num_bits, num_hashes))
+
+    def filt(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        vals = t.column(col).to_pylist()
+        return t.filter(pa.array(_bloom_contains(bits, vals, num_bits, num_hashes)))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def broadcast_semi_join(ds, keys, col: str, anti: bool = False):
     """Keep (or drop, anti=True) rows whose ``col`` is in the broadcast
     key set -- the reference's admission filter generalized (M5)."""

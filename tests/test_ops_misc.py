@@ -109,3 +109,53 @@ def test_dump_csv_roundtrip(tmp_table_root, ray_session):
     df = pd.concat([pd.read_csv(os.path.join(out_dir, f)) for f in files])
     assert len(df) == 50
     assert "html" not in df.columns  # binary column excluded
+
+
+def test_range_join_matches_pandas(ray_session):
+    from engine.lookup import range_join
+
+    iv = pd.DataFrame({"lo": [0.0, 10.0, 50.0], "hi": [10.0, 20.0, 100.0], "band": ["low", "mid", "high"]})
+    facts = pa.table({"id": list(range(7)), "v": [0.0, 5.0, 9.999, 10.0, 25.0, 50.0, 150.0]})
+    out = (
+        range_join(ray.data.from_arrow(facts), iv, "v", "lo", "hi", attach=["band"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert out.band.tolist()[:4] == ["low", "low", "low", "mid"]
+    assert pd.isna(out.band.tolist()[4])   # gap between intervals
+    assert out.band.tolist()[5] == "high"
+    assert pd.isna(out.band.tolist()[6])   # beyond all intervals
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    from engine.lookup import bloom_semi_join, make_bloom, _bloom_contains
+
+    keys = {f"k{i}" for i in range(500)}
+    t = pa.table({"col": [f"k{i}" for i in range(1000)]})
+    out = bloom_semi_join(ray.data.from_arrow(t), keys, "col").to_pandas()
+    kept = set(out.col)
+    assert keys <= kept                       # zero false negatives
+    fp = len(kept - keys) / 500
+    assert fp < 0.05                          # ~0.1% expected at these params
+
+
+def test_hll_accuracy_and_merge():
+    import numpy as np
+    from engine.sketch import HyperLogLog
+
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_strings([f"x{i}" for i in range(30000)])
+    b.add_strings([f"x{i}" for i in range(20000, 60000)])  # overlap 10k
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - 60000) / 60000 < 0.05
+    # determinism + serialization round-trip
+    again = HyperLogLog.from_bytes(merged.to_bytes())
+    assert again.estimate() == est
+
+
+def test_approx_distinct_stage(ray_session, sf_dir):
+    from engine.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).repartition(4)
+    est = approx_distinct(ds, "doc_id")
+    assert abs(est - 500) / 500 < 0.1

@@ -1,0 +1,72 @@
+"""Streaming micro-batch upsert via the sharded mutable index actors."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+
+from engine.config import EngineConfig
+from engine.manifest import Table
+from engine.stream import StreamingUpsert
+
+
+def _ts(i):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i)
+
+
+def _batch(rows):
+    return pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+
+
+def test_streaming_upsert_lww_across_microbatches(tmp_table_root, ray_session):
+    t = Table.create(tmp_table_root)
+    s = StreamingUpsert(t, EngineConfig(), num_shards=4)
+
+    r1 = s.upsert(_batch([("u1", _ts(5), "v1"), ("u2", _ts(5), "w1"), (None, _ts(1), "noid")]))
+    assert r1["appended"] == 3
+
+    # second micro-batch: u1 older (dropped), u2 newer (kept), u3 new
+    r2 = s.upsert(_batch([("u1", _ts(3), "stale"), ("u2", _ts(9), "w2"), ("u3", _ts(1), "x1")]))
+    assert r2["appended"] == 2
+
+    df = t.scan().to_pandas()
+    assert len(df) == 5  # 3 + 2 appended (u2 has two versions until compaction)
+    assert "stale" not in set(df.text)
+    assert {"w1", "w2"} <= set(df.text)
+
+    # a periodic MERGE INTO collapses superseded versions
+    from engine.jobs import merge_into
+
+    merge_into(t, EngineConfig(merge_buckets=4))
+    merged = t.scan().to_pandas()
+    by_url = merged[merged.url.notna()].set_index("url").text.to_dict()
+    assert by_url == {"u1": "v1", "u2": "w2", "u3": "x1"}
+
+
+def test_streaming_index_rebuild(tmp_table_root, ray_session):
+    t = Table.create(tmp_table_root)
+    s = StreamingUpsert(t, EngineConfig(), num_shards=2)
+    s.upsert(_batch([("u1", _ts(10), "v1")]))
+
+    # fresh front-end (actor loss): rebuild index from the table, then a
+    # stale update must still be rejected
+    s2 = StreamingUpsert(t, EngineConfig(), num_shards=2)
+    s2.rebuild_from_table()
+    r = s2.upsert(_batch([("u1", _ts(4), "stale")]))
+    assert r["appended"] == 0
+    assert "stale" not in set(t.scan().to_pandas().text)
+
+
+def test_within_batch_duplicates_collapse_first(tmp_table_root, ray_session):
+    t = Table.create(tmp_table_root)
+    s = StreamingUpsert(t, EngineConfig(), num_shards=2)
+    r = s.upsert(_batch([("u1", _ts(1), "a"), ("u1", _ts(2), "b")]))
+    assert r["appended"] == 1  # local fold collapsed before the index
+    assert set(t.scan().to_pandas().text) == {"b"}

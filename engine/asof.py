@@ -50,6 +50,12 @@ def asof_join(
     out_right_names = {
         n: (n + suffix if n in lschema.names else n) for n in right_value_cols
     }
+    clash = set(out_right_names.values()) & set(lschema.names)
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision (left already has {sorted(clash)}); "
+            f"pass a different suffix"
+        )
 
     union_fields = [(n, ltypes[n]) for n in lschema.names]
     for n in right_value_cols:

@@ -61,16 +61,25 @@ def range_join(
     """
     iv = intervals.sort_values(lo_col).reset_index(drop=True)
     attach = attach if attach is not None else [c for c in iv.columns]
+    clash = (set(attach) - {value_col}) & set(ds.schema().names)
+    if clash:
+        raise ValueError(
+            f"range_join attach columns collide with fact columns: {sorted(clash)}"
+        )
     iv_ref = ray.put(iv[sorted(set(attach) | {lo_col, hi_col})])
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(iv_ref)
+        out = df.copy()
+        if len(table) == 0:  # empty interval set -> all-null left join
+            for c in attach:
+                out[c] = None
+            return out
         lows = table[lo_col].to_numpy()
         highs = table[hi_col].to_numpy()
         v = df[value_col].to_numpy()
         pos = np.searchsorted(lows, v, side="right") - 1
         valid = (pos >= 0) & (v < highs[np.clip(pos, 0, len(highs) - 1)])
-        out = df.copy()
         for c in attach:
             vals = table[c].to_numpy()[np.clip(pos, 0, len(table) - 1)]
             col = pd.Series(vals, index=df.index)
@@ -80,52 +89,69 @@ def range_join(
     return ds.map_batches(join, batch_format="pandas")
 
 
+def _canon_keys(values) -> pd.Series:
+    """Canonical string form shared by Bloom build and probe sides:
+    floats that are integral render as ints (pandas null-upcast makes
+    key 1 arrive as 1.0 on one side and 1 on the other), NULLs map to
+    None (callers exclude them -- NULL never matches). A divergent
+    representation between the sides would create FALSE negatives,
+    which a Bloom filter must never produce."""
+    s = pd.Series(list(values), dtype=object)
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    return s.map(canon)
+
+
+def _bloom_positions(canon: pd.Series, num_bits: int, num_hashes: int):
+    """(n, k) probe positions via double hashing of the canonical keys
+    (pd.util.hash_array: fixed key -> stable across processes; numpy
+    mixing -- no per-row Python in the probe hot path)."""
+    h1 = pd.util.hash_array(canon.to_numpy(dtype=object), categorize=False)
+    h2 = (
+        (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    ) | np.uint64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(num_bits)).astype(np.int64)
+
+
 def make_bloom(keys, num_bits: int = 1 << 20, num_hashes: int = 4) -> np.ndarray:
     """Deterministic Bloom filter (packed bit array) over a key set --
     the broadcastable semi-join filter when the exact key set is too
     large to ship (SURVEY 2.4 'semi/anti join: broadcast a Bloom filter
-    of the key set'). False-positive rate ~ (1-e^(-kn/m))^k."""
-    import hashlib
-
+    of the key set'). False-positive rate ~ (1-e^(-kn/m))^k; zero false
+    negatives (canonical key representation on both sides)."""
+    canon = _canon_keys(keys).dropna()
     bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
-    for k in keys:
-        d = hashlib.blake2b(str(k).encode("utf-8"), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        for i in range(num_hashes):
-            pos = (h1 + i * h2) % num_bits
-            bits[pos >> 3] |= 1 << (pos & 7)
+    if len(canon):
+        pos = _bloom_positions(canon, num_bits, num_hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     return bits
-
-
-def _bloom_contains(bits: np.ndarray, keys, num_bits: int, num_hashes: int) -> np.ndarray:
-    import hashlib
-
-    out = np.zeros(len(keys), dtype=bool)
-    for j, k in enumerate(keys):
-        d = hashlib.blake2b(str(k).encode("utf-8"), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        hit = True
-        for i in range(num_hashes):
-            pos = (h1 + i * h2) % num_bits
-            if not (bits[pos >> 3] >> (pos & 7)) & 1:
-                hit = False
-                break
-        out[j] = hit
-    return out
 
 
 def bloom_semi_join(ds, keys, col: str, num_bits: int = 1 << 20, num_hashes: int = 4):
     """Approximate semi-join: keeps all true members plus ~FP-rate
     stragglers (callers needing exactness chain an exact filter after;
-    the Bloom pass eliminates ~99.9%+ of rows first)."""
+    the Bloom pass eliminates ~99.9%+ of rows first). NULL rows never
+    match."""
     bits_ref = ray.put(make_bloom(keys, num_bits, num_hashes))
 
     def filt(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
-        vals = t.column(col).to_pylist()
-        return t.filter(pa.array(_bloom_contains(bits, vals, num_bits, num_hashes)))
+        canon = _canon_keys(t.column(col).to_pylist())
+        ok = canon.notna().to_numpy()
+        mask = np.zeros(len(canon), dtype=bool)
+        if ok.any():
+            pos = _bloom_positions(canon[ok], num_bits, num_hashes)
+            hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+            mask[np.flatnonzero(ok)] = hit
+        return t.filter(pa.array(mask))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 

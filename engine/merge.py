@@ -69,7 +69,10 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     """
     if df.empty:
         return df
-    df = df.sort_values(ts, kind="stable")
+    # null ts sorts FIRST: a null-timestamp row is the oldest writer and
+    # never beats a timestamped one (same rule as the streaming index,
+    # where NaT maps to INT64_MIN)
+    df = df.sort_values(ts, kind="stable", na_position="first")
     value_cols = [c for c in df.columns if c != key]
     anchor = df.drop_duplicates(subset=[key], keep="first").set_index(key)
 

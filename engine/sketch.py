@@ -39,13 +39,18 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rank)
 
     def add_strings(self, values):
+        """NULLs are skipped (COUNT DISTINCT semantics: an all-null
+        column estimates 0, and nulls never collide with 'None')."""
+        vals = [v for v in values if v is not None and v == v]
+        if not vals:
+            return
         h = np.fromiter(
             (
                 int.from_bytes(hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "little")
-                for v in values
+                for v in vals
             ),
             dtype=np.uint64,
-            count=len(values),
+            count=len(vals),
         )
         self.add_hashes(h)
 

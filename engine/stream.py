@@ -46,21 +46,19 @@ class IndexShard:
     def __init__(self):
         self.latest: dict = {}
 
-    def filter_and_update(self, keys: list, ts_us: list) -> list:
-        """For each (key, ts): True if ts is strictly newer than the
-        stored ts (or unseen); updates the index for winners. Atomic
-        per shard (actor call serialization)."""
-        out = []
-        for k, t in zip(keys, ts_us):
-            prev = self.latest.get(k)
-            if prev is None or t > prev:
-                self.latest[k] = t
-                out.append(True)
-            else:
-                out.append(False)
-        return out
+    def probe(self, keys: list, ts_us: list) -> list:
+        """Read-only: True where ts >= stored ts (or unseen). >= (not >)
+        matches the batch fold's last-occurrence-wins on ts ties."""
+        return [
+            (self.latest.get(k) is None or t >= self.latest[k])
+            for k, t in zip(keys, ts_us)
+        ]
 
     def load(self, keys: list, ts_us: list):
+        """Apply winners (max-merge). Called AFTER the table commit: a
+        crash between probe and load leaves the index stale-LOW, so a
+        retry re-appends (harmless duplicate, compacted by MERGE) --
+        never silently drops a batch, which mutate-before-commit would."""
         for k, t in zip(keys, ts_us):
             prev = self.latest.get(k)
             if prev is None or t > prev:
@@ -88,8 +86,9 @@ class StreamingUpsert:
         self.seq = 0
 
     def _shard_of(self, keys: pd.Series) -> np.ndarray:
-        h = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
-        return (h % np.uint64(self.n)).astype(np.int64)
+        from engine.merge import _bucket_of  # ONE partition-hash invariant
+
+        return _bucket_of(keys, self.n)
 
     def rebuild_from_table(self):
         """Recover index state from the table (actor restart path)."""
@@ -114,9 +113,10 @@ class StreamingUpsert:
         merged = merge_fold(df[~null_mask], self.key, self.ts)
         ts_us = pd.to_datetime(merged[self.ts]).astype("datetime64[us]").astype("int64")
         sh = self._shard_of(merged[self.key])
+        # 1. read-only probe (no state change before the durable commit)
         verdicts = ray.get(
             [
-                self.shards[s].filter_and_update.remote(
+                self.shards[s].probe.remote(
                     merged[self.key][sh == s].tolist(), ts_us[sh == s].tolist()
                 )
                 for s in range(self.n)
@@ -129,6 +129,7 @@ class StreamingUpsert:
         self.seq += 1
         if survivors.empty:
             return {"appended": 0, "snapshot_id": self.table.current_snapshot_id()}
+        # 2. durable append
         entries = write_files(
             ray.data.from_pandas(survivors),
             self.table.data_dir,
@@ -136,4 +137,17 @@ class StreamingUpsert:
             stats_cols=self.cfg.stats_cols,
         )
         snap = self.table.commit(f"stream-append:{self.seq}", add_files=entries)
+        # 3. only now advance the index (crash before this point leaves
+        # the index stale-low -> retry re-appends, never loses the batch)
+        win_keys = merged[self.key][keep]
+        win_ts = ts_us[keep]
+        win_sh = sh[keep]
+        ray.get(
+            [
+                self.shards[s].load.remote(
+                    win_keys[win_sh == s].tolist(), win_ts[win_sh == s].tolist()
+                )
+                for s in range(self.n)
+            ]
+        )
         return {"appended": len(survivors), "snapshot_id": snap.snapshot_id}

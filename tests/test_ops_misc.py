@@ -127,7 +127,7 @@ def test_range_join_matches_pandas(ray_session):
 
 
 def test_bloom_semi_join_no_false_negatives(ray_session):
-    from engine.lookup import bloom_semi_join, make_bloom, _bloom_contains
+    from engine.lookup import bloom_semi_join, make_bloom
 
     keys = {f"k{i}" for i in range(500)}
     t = pa.table({"col": [f"k{i}" for i in range(1000)]})
@@ -159,3 +159,42 @@ def test_approx_distinct_stage(ray_session, sf_dir):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).repartition(4)
     est = approx_distinct(ds, "doc_id")
     assert abs(est - 500) / 500 < 0.1
+
+
+def test_bloom_canonicalization_no_false_negatives(ray_session):
+    # regression: float-upcast keys (1.0) vs int probe values (1) and
+    # NULLs must not create false negatives / spurious matches
+    from engine.lookup import bloom_semi_join
+
+    keys = pd.Series([1.0, 2.0, 3.0])  # float-upcast build side
+    t = pa.table({"col": pa.array([1, 2, 3, 4, None], pa.int64())})
+    out = bloom_semi_join(ray.data.from_arrow(t), keys, "col").to_pandas()
+    assert {1, 2, 3} <= set(out.col.dropna().astype(int))
+    assert out.col.isna().sum() == 0  # NULL never matches
+
+
+def test_range_join_guards(ray_session):
+    from engine.lookup import range_join
+
+    facts = pa.table({"id": [1], "v": [5.0], "band": ["existing"]})
+    iv = pd.DataFrame({"lo": [0.0], "hi": [10.0], "band": ["low"]})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(ray.data.from_arrow(facts), iv, "v", "lo", "hi", attach=["band"])
+    # empty interval table -> all-null left join, no crash
+    empty = pd.DataFrame({"lo": pd.Series([], dtype=float), "hi": pd.Series([], dtype=float), "b": pd.Series([], dtype=object)})
+    out = range_join(
+        ray.data.from_arrow(pa.table({"id": [1, 2], "v": [5.0, 6.0]})), empty, "v", "lo", "hi", attach=["b"]
+    ).to_pandas()
+    assert len(out) == 2 and out.b.isna().all()
+
+
+def test_hll_skips_nulls():
+    from engine.sketch import HyperLogLog
+
+    h = HyperLogLog(12)
+    h.add_strings([None, None, float("nan")])
+    assert h.estimate() == 0.0
+    h.add_strings(["a", None, "b"])
+    assert 1.5 < h.estimate() < 2.5

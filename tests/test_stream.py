@@ -70,3 +70,24 @@ def test_within_batch_duplicates_collapse_first(tmp_table_root, ray_session):
     r = s.upsert(_batch([("u1", _ts(1), "a"), ("u1", _ts(2), "b")]))
     assert r["appended"] == 1  # local fold collapsed before the index
     assert set(t.scan().to_pandas().text) == {"b"}
+
+
+def test_stream_index_advances_only_after_commit(tmp_table_root, ray_session, monkeypatch):
+    # regression: a failed append must NOT advance the index (a retry of
+    # the same batch would otherwise be silently dropped)
+    t = Table.create(tmp_table_root)
+    s = StreamingUpsert(t, EngineConfig(), num_shards=2)
+    import engine.stream as stream_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected write failure")
+
+    monkeypatch.setattr(stream_mod, "write_files", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        s.upsert(_batch([("u1", _ts(5), "v1")]))
+    monkeypatch.undo()
+    r = s.upsert(_batch([("u1", _ts(5), "v1")]))  # retry succeeds fully
+    assert r["appended"] == 1
+    assert set(t.scan().to_pandas().text) == {"v1"}

@@ -240,3 +240,48 @@ def test_dialect_detection_matches_reference(delim, rows):
     got = detect_dialect(content)
     exp = ReferenceDetector().detect(content)
     assert (got.delimiter, got.quotechar) == (exp.delimiter, exp.quotechar)
+
+
+# --- FULL parser parity: engine parse_csv_text vs reference _parse_csv_sync
+
+def _reference_parse():
+    """Import the reference's full parser with fastapi stubbed."""
+    import sys as _sys
+    import types as _types
+
+    if "fastapi.concurrency" not in _sys.modules:
+        fa = _types.ModuleType("fastapi")
+        fc = _types.ModuleType("fastapi.concurrency")
+
+        async def run_in_threadpool(fn, *a, **k):
+            return fn(*a, **k)
+
+        fc.run_in_threadpool = run_in_threadpool
+        _sys.modules["fastapi"] = fa
+        _sys.modules["fastapi.concurrency"] = fc
+    from app.services.csv_handler import _parse_csv_sync
+
+    return _parse_csv_sync
+
+
+_pcell = st.sampled_from(
+    ["1", "=SUM(A1)", " x ", "a b", "1,5", "", "n/a", "x@y.com", "+c", "-2", "Key", "Value", "Name"]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    delim=st.sampled_from([",", ";"]),
+    header=st.lists(st.sampled_from(["id", "name", "Key", "Value", " c ", "d"]), min_size=1, max_size=4, unique=True),
+    rows=st.lists(st.lists(_pcell, min_size=1, max_size=5), min_size=0, max_size=10),
+    id_field=st.sampled_from([None, "id", "Key", "  ", "missing"]),
+)
+def test_full_parser_parity_vs_reference(delim, header, rows, id_field):
+    ref = _reference_parse()
+    content = "\n".join(
+        [delim.join(header)] + [delim.join(r) for r in rows]
+    )
+    got_records, got_fields = parse_csv_text(content, id_field)
+    exp_records, exp_fields = ref(content, id_field)
+    assert got_fields == exp_fields
+    assert [dict(r) for r in got_records] == [dict(r) for r in exp_records]

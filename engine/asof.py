@@ -17,7 +17,6 @@ columns (they round-trip exactly); int64 ids up to 2^53 are exact.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

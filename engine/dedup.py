@@ -31,7 +31,6 @@ from typing import Iterable, List, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 

@@ -17,7 +17,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _BASE = np.uint64(1_000_003)

@@ -24,10 +24,8 @@ module provides it for grouped aggregations.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 

@@ -23,7 +23,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 TOKEN_PATTERN = r"\S+"
 WORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

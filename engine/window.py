@@ -19,7 +19,6 @@ kernels. Ordering assumption: all rows of one key land in one bucket
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -162,3 +162,76 @@ def test_simhash_banding_recall_for_large_radius(ray_session):
     out = simhash_dup_pairs(None, max_hamming=8, sigs=sigs).to_pandas()
     assert {(1, 2)} == {tuple(p) for p in out[["id_a", "id_b"]].itertuples(index=False)}
     assert out.hamming.tolist() == [4]
+
+
+def test_distributed_components_match_union_find(ray_session):
+    # random pair graph: distributed min-label propagation must agree
+    # with the driver union-find on every node's root
+    from engine.dedup import connected_components, connected_components_distributed
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 100, 200)
+    b = rng.integers(0, 100, 200)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    pairs_df = pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+    expected = connected_components(pairs_df)
+
+    pairs_ds = ray.data.from_pandas(pairs_df.astype("int64").reset_index(drop=True))
+    got = connected_components_distributed(pairs_ds, num_buckets=8).to_pandas()
+    got_map = dict(zip(got.doc_id, got.root))
+    # every node in the graph is labeled with its component min id
+    nodes = set(pairs_df.id_a) | set(pairs_df.id_b)
+    assert set(got_map) == nodes
+    for n in nodes:
+        assert got_map[n] == expected.get(n, n)
+
+
+def test_drop_near_duplicates_shuffle_matches_broadcast(ray_session):
+    from engine.dedup import drop_near_duplicates, drop_near_duplicates_shuffle
+
+    ds = ray.data.from_arrow(_docs()).repartition(3)
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [0, 0, 7], "id_b": [1, 2, 8]}).astype("int64")
+    )
+    broadcast = sorted(drop_near_duplicates(ds, pairs.materialize()).to_pandas().doc_id)
+    shuffled = drop_near_duplicates_shuffle(ds, pairs, num_buckets=4).to_pandas()
+    assert sorted(shuffled.doc_id) == broadcast == [0, 3, 4, 5]
+    assert list(shuffled.columns) == ["doc_id", "text"]
+    # forcing the scale path via pair_limit gives the same survivors
+    forced = drop_near_duplicates(ds, pairs, pair_limit=0).to_pandas()
+    assert sorted(forced.doc_id) == broadcast
+
+
+def test_minhash_verify_never_materializes_corpus(ray_session, monkeypatch):
+    # round-1 VERDICT #1: the verify stage must not collect corpus text
+    # driver-side. Poison the driver-collection APIs for the whole
+    # pipeline build+run (prefilter off -> pure partitioned-join path).
+    import ray.data as rd
+
+    ds = ray.data.from_arrow(_docs())
+
+    def boom(self, *a, **k):  # pragma: no cover - triggers only on regression
+        raise AssertionError("driver materialization in minhash pipeline")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", boom)
+    monkeypatch.setattr(rd.Dataset, "take_all", boom)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, prefilter_limit=0).materialize()
+    monkeypatch.undo()
+    found = {tuple(sorted((a, b))) for a, b in zip(*(pairs.to_pandas()[c] for c in ("id_a", "id_b")))}
+    assert (0, 1) in found and (0, 2) in found and (0, 5) in found
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_exact_dedup_auto_routes_by_cardinality(ray_session):
+    from engine.dedup import exact_dedup_auto
+
+    ds = ray.data.from_arrow(_docs())
+    # 5 distinct texts, generous limit -> broadcast
+    filtered, path = exact_dedup_auto(ds, broadcast_limit=1000)
+    assert path == "broadcast"
+    assert sorted(filtered.to_pandas().doc_id) == [0, 2, 3, 4, 5]
+    # high-cardinality corpus (limit below distinct count) -> shuffle
+    filtered, path = exact_dedup_auto(ds, broadcast_limit=2, num_buckets=4)
+    assert path == "shuffle"
+    assert sorted(filtered.to_pandas().doc_id) == [0, 2, 3, 4, 5]

@@ -58,5 +58,11 @@ class EngineConfig:
     #: rows per map_batches batch for text-sized rows; binary-heavy
     #: stages (html) should pass an explicit smaller batch_size.
     batch_size: int = 16384
+    #: fixed shuffle block/partition count for merge/cluster exchanges.
+    #: None -> derived from manifest bytes and cluster CPUs. Set it when
+    #: comparing cluster sizes: partitioning should be a property of the
+    #: DATA, not the cluster, so the same job runs the identical
+    #: dataflow at N and 4N nodes (the north_rule scaling measurement).
+    shuffle_blocks: int | None = None
 
     extra: dict = field(default_factory=dict)

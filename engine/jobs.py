@@ -73,8 +73,10 @@ def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Datas
 # jobs
 # ---------------------------------------------------------------------------
 
-def _shuffle_blocks(table: Table) -> int:
+def _shuffle_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
     """Block/partition count for shuffle stages, from manifest bytes.
+    ``cfg.shuffle_blocks`` overrides (fixed data-derived partitioning,
+    identical dataflow across cluster sizes).
 
     ~32 MB of (compressed) file bytes per block keeps the exchange from
     degenerating into O(blocks x partitions) minuscule objects where it
@@ -86,6 +88,8 @@ def _shuffle_blocks(table: Table) -> int:
     """
     import ray
 
+    if cfg is not None and cfg.shuffle_blocks:
+        return int(cfg.shuffle_blocks)
     total_bytes = sum(f.bytes for f in table.live_files())
     by_bytes = total_bytes // (32 << 20) + 1
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -210,7 +214,7 @@ def merge_into(
     job_id = job_id or uuid.uuid4().hex[:8]
     # bytes/CPU-derived bucket count, with cfg.merge_buckets as a FLOOR
     # (the user's hot-bucket / skew knob: raising it always takes effect)
-    blocks = max(_shuffle_blocks(table), int(cfg.merge_buckets or 0))
+    blocks = max(_shuffle_blocks(table, cfg), int(cfg.merge_buckets or 0))
 
     def build():
         ds = table.scan()
@@ -266,9 +270,11 @@ def cluster(
     sort -> write files (zkey min/max recorded per file) -> snapshot."""
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
-    ds = table.scan()
-    codes = collect_lang_codes(ds, col=cfg.cluster_cols[0])
-    blocks = _shuffle_blocks(table)
+    # pruned single-column scan: unique(lang) must not read html bytes
+    codes = collect_lang_codes(
+        table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
+    )
+    blocks = _shuffle_blocks(table, cfg)
     clustered = cluster_dataset(
         table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
         cols=tuple(cfg.cluster_cols),
@@ -304,27 +310,54 @@ def dump_csv(table: Table, out_dir: str, columns: Optional[list] = None) -> str:
     return out_dir
 
 
+class _NormalizeFused:
+    """Quality stats + language id + simhash in ONE pandas callable:
+    state (regexes, profiles) built once per process, one
+    arrow<->pandas conversion for the whole chain instead of three
+    (the round-2 ingest-scaling fix -- format conversions were pure
+    per-block overhead that scaled worse than the kernels)."""
+
+    def __init__(self, text_col: str = "text", simhash: bool = True):
+        from engine.langid import LangId
+        from engine.textstats import TextStats
+
+        self.ts = TextStats(text_col)
+        self.li = LangId(text_col)
+        self.simhash = simhash
+        self.text_col = text_col
+
+    def __call__(self, batch):
+        batch = self.ts(batch)
+        batch = self.li(batch)
+        if self.simhash:
+            from engine.dedup import simhash_texts
+
+            batch["simhash"] = simhash_texts(batch[self.text_col].tolist())
+        return batch
+
+
+_NORM_CACHE: dict = {}
+
+
+def _normalize_fn(batch, text_col: str = "text", simhash: bool = True):
+    key = (text_col, simhash)
+    st = _NORM_CACHE.get(key)
+    if st is None:
+        st = _NORM_CACHE[key] = _NormalizeFused(text_col, simhash)
+    return st(batch)
+
+
 def normalize_stage(ds, cfg: Optional[EngineConfig] = None, simhash: bool = True):
     """The north-star normalization chain: quality stats -> language id
-    -> simhash content signature, all elastic map stages over the text
-    column (see ARCHITECTURE.md section 1)."""
+    -> simhash content signature, one fused elastic map stage over the
+    text column (see ARCHITECTURE.md section 1)."""
     cfg = cfg if cfg is not None else EngineConfig()
-    import pyarrow as pa_mod
-
-    from engine.dedup import simhash_batch
-    from engine.langid import lang_id
-    from engine.textstats import text_stats
-
-    ds = text_stats(ds, batch_size=cfg.batch_size)
-    ds = lang_id(ds, batch_size=cfg.batch_size)
-    if simhash:
-
-        def add_simhash(t: pa_mod.Table) -> pa_mod.Table:
-            sh = simhash_batch(t, text_col="text", id_col="url")
-            return t.append_column("simhash", sh.column("simhash"))
-
-        ds = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
-    return ds
+    return ds.map_batches(
+        _normalize_fn,
+        batch_format="pandas",
+        fn_kwargs={"simhash": simhash},
+        batch_size=cfg.batch_size,
+    )
 
 
 def full_maintenance(

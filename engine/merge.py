@@ -80,10 +80,10 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     for c in value_cols:
         col = masked[c]
         if col.dtype == object or pd.api.types.is_string_dtype(col):
-            # empty string / empty bytes count as "missing" (csv_handler.py:91-95)
-            empty = col.map(lambda v: v == "" or v == b"", na_action="ignore")
-            empty = empty.fillna(False).astype(bool)
-            masked[c] = col.where(col.notna() & ~empty)
+            # empty string / empty bytes count as "missing"
+            # (csv_handler.py:91-95); vectorized -- isin is False for
+            # NaN so notna() carries the null semantics
+            masked[c] = col.where(col.notna() & ~col.isin(("", b"")))
     # groupby.last skips missing values -> "latest non-empty"; fillna
     # from the anchor covers the all-missing case (anchor's literal,
     # possibly empty, value -- csv_handler.py:86-89)

@@ -54,26 +54,27 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float = 18
 
 
 def session_stats(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float = 1800.0, num_buckets: int = 64):
-    """Per-key session/event counts: ``(key, n_sessions, n_events)``."""
-    sess = sessionize(ds, key, ts, gap_seconds, num_buckets)
+    """Per-key session/event counts: ``(key, n_sessions, n_events)``.
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key)["session_seq"].agg(["max", "size"]).reset_index()
-        g["n_sessions"] = (g["max"] + 1).astype("int64")
-        g["n_events"] = g["size"].astype("int64")
-        return g[[key, "n_sessions", "n_events"]]
-
-    # session_seq is already per-key complete within its bucket -> the
-    # per-bucket aggregate needs no second-level combine
-    keyed = sess.map_batches(
+    ONE shuffle: the aggregate is fused into the sessionize fold (all
+    rows of a key are in the bucket already, so the per-bucket stats
+    are final), and only ``(key, ts)`` ride the exchange."""
+    gap_us = int(gap_seconds * 1_000_000)
+    keyed = ds.select_columns([key, ts]).map_batches(
         _add_bucket,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"key": key, "num_buckets": num_buckets},
     )
-    return keyed.groupby("__bucket").map_groups(
-        lambda df: agg(df.drop(columns=["__bucket"])), batch_format="pandas"
-    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sessionize_frame(df.drop(columns=["__bucket"]), key, ts, gap_us)
+        g = df.groupby(key)["session_seq"].agg(["max", "size"]).reset_index()
+        g["n_sessions"] = (g["max"] + 1).astype("int64")
+        g["n_events"] = g["size"].astype("int64")
+        return g[[key, "n_sessions", "n_events"]]
+
+    return keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
 
 
 def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds: float = 3600.0):

@@ -442,13 +442,23 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
-    """IVF approximate top-k (scale path; recall<1 by design -> rows-only)."""
+    """IVF approximate top-k via the STORED-list index: build_ivf_index
+    writes a __list-partitioned table (per-file __list stats in the
+    manifest), probing reads only files holding probed lists. Results
+    identical to the compute-only ivf_topk with the same centroids
+    (recall<1 by design -> rows-only)."""
+    import os
+    import shutil
+
     import ray.data
-    from engine.similarity import ivf_topk
+    from engine.similarity import build_ivf_index, ivf_topk_indexed
 
     q, qids = _load_queries_emb(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, qids, k=5, n_centroids=16, nprobe=4).select_columns(
+    root = f"/tmp/ivf-index-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    table, _ = build_ivf_index(ds, root, n_centroids=16, rows_per_file=1024)
+    return ivf_topk_indexed(table, q, qids, k=5, nprobe=4).select_columns(
         ["query_id", "vec_id"]
     )
 

@@ -209,8 +209,10 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scaling runs default to a larger input so per-stage fixed
-        # costs (sort barriers, manifest commits) amortize
-        env.setdefault("BENCH_EXPAND", "240")
+        # costs (plan/optimize, sort barriers, manifest commits)
+        # amortize -- at the target scale fixed costs are noise, so the
+        # measurement should not be dominated by them either
+        env.setdefault("BENCH_EXPAND", "480")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -220,11 +222,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # interleave levels over two rounds and keep the best run per level:
+    # interleave levels across rounds and keep the best run per level:
     # host contention on this VM is time-correlated, so adjacent runs
     # see comparable conditions and the best-of pairs cancel the noise.
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
     lo_runs, hi_runs = [], []
-    for _ in range(2):
+    for _ in range(rounds):
         lo_runs.append(run(8))
         hi_runs.append(run(32))
     lo = max(lo_runs, key=lambda r: r["rows_per_sec"])

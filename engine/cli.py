@@ -109,6 +109,19 @@ def main(argv=None) -> int:
         accepted, rejected = validate_csv_paths(list(args.input))
         t = Table.create(args.table)
         ds, fields, errors = ingest_csv(accepted, id_field=args.id_field)
+        # durable quarantine records (the reference's persisted ``error``
+        # state): rejected admissions + decode failures land in the job
+        # log, not just the process output
+        if rejected or errors:
+            from engine.manifest import JobLog
+
+            qlog = JobLog(t, "ingest-csv-quarantine")
+            for p, reason in rejected:
+                qlog.record(p, input_files=[p], output_files=[], rows=0,
+                            state="quarantined", error=reason)
+            for err in errors:
+                qlog.record(err.split(":", 1)[0], input_files=[], output_files=[],
+                            rows=0, state="quarantined", error=err)
         entries = write_files(ds, t.data_dir, prefix="csv", stats_cols=())
         from engine.jobs import _entries_schema
 

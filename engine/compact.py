@@ -153,12 +153,29 @@ def compact_table(
     log = JobLog(table, job_id)
     done = log.committed()
 
+    # bins are identified by a CONTENT id (hash of the sorted input
+    # paths), not a planning ordinal: if the snapshot changed between a
+    # crash and the resume, re-planned ordinals could bind to different
+    # file sets and a skipped "bin-00003" would not correspond to the
+    # files actually removed. A content id only matches when the bin's
+    # exact input set re-plans identically; changed bins re-run.
+    import hashlib
+
+    def bin_id(b) -> str:
+        paths = "\n".join(sorted(fe.path for fe in b))
+        return "bin-" + hashlib.blake2b(paths.encode(), digest_size=8).hexdigest()
+
+    planned_ids = {bin_id(b) for b in bins}
+    # only resume entries whose input set is still planned; stale
+    # entries (snapshot moved on) are ignored -- their outputs remain
+    # as orphans for gc_orphans
+    done = {pid: e for pid, e in done.items() if pid in planned_ids}
     new_entries = {pid: FileEntry.from_json(e["output_files"][0]) for pid, e in done.items()}
     replaced = {p for e in done.values() for p in e["input_files"]}
 
     pending = []
-    for i, b in enumerate(bins):
-        pid = f"bin-{i:05d}"
+    for b in bins:
+        pid = bin_id(b)
         if pid in done:
             continue
         out_path = os.path.join(table.data_dir, f"compact-{job_id}-{pid}.parquet")
@@ -178,7 +195,22 @@ def compact_table(
         ready, _ = ray.wait(list(in_flight), num_returns=1)
         for ref in ready:
             pid, b = in_flight.pop(ref)
-            entry_json = ray.get(ref)
+            try:
+                entry_json = ray.get(ref)
+            except Exception as ex:
+                # durable failure record (reference state machine's
+                # ``error`` state, file_service.py:66-81): the crashed
+                # bin is visible in the log and retried on resume
+                # (failed entries are not in committed()).
+                log.record(
+                    pid,
+                    input_files=[fe.path for fe in b],
+                    output_files=[],
+                    rows=0,
+                    state="failed",
+                    error=ex,
+                )
+                raise
             log.record(
                 pid,
                 input_files=[fe.path for fe in b],

@@ -34,8 +34,18 @@ class EngineConfig:
     merge_buckets: int = 64
     #: wide binary payload columns kept OUT of the merge shuffle via the
     #: two-phase winner-retrieval path (merge_datasets_wide); empty ->
-    #: single-pass merge moving full rows.
+    #: auto-detect (see merge_wide_auto), () with auto off -> single-pass
+    #: merge moving full rows.
     merge_wide_cols: tuple = ()
+    #: auto-route binary columns through the wide path when the table is
+    #: big enough that payload bytes dominate the exchange. A column
+    #: qualifies when its compressed-byte share (sampled from parquet
+    #: footers) >= merge_wide_share AND total live bytes >=
+    #: merge_wide_min_bytes. Local-scale tables stay on the single-pass
+    #: merge (the wide path's second input pass loses below ~100 MB).
+    merge_wide_auto: bool = True
+    merge_wide_share: float = 0.4
+    merge_wide_min_bytes: int = 192 * 1024 * 1024
 
     # --- clustering ------------------------------------------------------
     cluster_cols: tuple = ("lang", "url")

@@ -118,11 +118,41 @@ def records_to_arrow(records: List[Dict], fields: List[str]) -> pa.Table:
 DEFAULT_MAX_BYTES = 50 * 1024 * 1024  # reference cap, config.py:30
 
 
+#: magic numbers of common binary formats masquerading as .csv
+_BINARY_MAGICS = (
+    b"PK\x03\x04",  # zip / xlsx
+    b"%PDF",
+    b"\x89PNG",
+    b"GIF8",
+    b"PAR1",  # parquet
+    b"\x1f\x8b",  # gzip
+    b"\xff\xd8\xff",  # jpeg
+)
+
+
+def _sniff_content(path: str, probe_bytes: int = 4096) -> Optional[str]:
+    """Content sniff: the engine's analog of the reference's
+    content-type gate (``validators.py:20-28`` rejects non ``text/csv``
+    uploads). A filesystem path has no declared MIME type, so we sniff
+    the leading bytes: known binary magic numbers and NUL bytes mean
+    "not CSV". Returns a rejection reason or None."""
+    with open(path, "rb") as f:
+        head = f.read(probe_bytes)
+    for magic in _BINARY_MAGICS:
+        if head.startswith(magic):
+            return f"content: binary magic {magic!r}"
+    if b"\x00" in head:
+        return "content: NUL bytes (binary file)"
+    return None
+
+
 def validate_csv_paths(paths: List[str], max_bytes: int = DEFAULT_MAX_BYTES):
     """Reject-fast input admission (M5; reference ``validators.py:10-30``
-    extension check + ``file_repository.py:20-21`` size cap). Returns
-    ``(accepted, rejected)`` where rejected entries carry the reason --
-    driver-side, before any task is launched."""
+    extension + content-type check, ``file_repository.py:20-21`` size
+    cap). Returns ``(accepted, rejected)`` where rejected entries carry
+    the reason -- driver-side, before any task is launched. The content
+    sniff reads only the first 4 KB of each file (metadata-scale IO; at
+    many-file scale fan it out like the footer scan)."""
     import os
 
     accepted, rejected = [], []
@@ -137,6 +167,14 @@ def validate_csv_paths(paths: List[str], max_bytes: int = DEFAULT_MAX_BYTES):
             continue
         if size > max_bytes:
             rejected.append((p, f"size {size} > cap {max_bytes}"))
+            continue
+        try:
+            reason = _sniff_content(p)
+        except OSError as e:
+            rejected.append((p, f"read: {e}"))
+            continue
+        if reason:
+            rejected.append((p, reason))
             continue
         accepted.append(p)
     return accepted, rejected

@@ -134,6 +134,7 @@ def ingest_sharded(
     sanitize_cols=("text",),
     rows_per_file: Optional[int] = None,
     failpoint_after: Optional[int] = None,
+    fail_shard: Optional[int] = None,
 ) -> dict:
     """Resumable ingest: input files are processed in shards of
     ``shard_files``; each shard streams through its own pipeline and is
@@ -143,7 +144,14 @@ def ingest_sharded(
     at partition granularity; north_rule "resumable from checkpoint with
     per-partition lineage").
 
+    A shard whose pipeline RAISES is recorded durably in the lineage
+    log with ``state="failed"`` and the error before the exception
+    propagates (the reference's persisted ``error`` state,
+    ``file_service.py:66-81``); a resume retries exactly the failed /
+    unrecorded shards.
+
     ``failpoint_after``: test hook, crash after N shards committed.
+    ``fail_shard``: test hook, shard index whose processing raises.
     """
     cfg = cfg if cfg is not None else EngineConfig()
     prior = table.operation_snapshot(f"ingest:{job_id}")
@@ -168,16 +176,25 @@ def ingest_sharded(
         pid = f"shard-{i:05d}"
         if pid in done:
             continue
-        ds = evolved_read(shard)
-        if sanitize_cols:
-            ds = sanitize_stage(ds, columns=sanitize_cols)
-        entries = write_files(
-            ds,
-            table.data_dir,
-            prefix=f"ingest-{job_id}-{pid}",
-            stats_cols=cfg.stats_cols,
-            rows_per_file=rows_per_file,
-        )
+        try:
+            if fail_shard is not None and i == fail_shard:
+                raise RuntimeError(f"injected shard failure (shard {i}, job {job_id})")
+            ds = evolved_read(shard)
+            if sanitize_cols:
+                ds = sanitize_stage(ds, columns=sanitize_cols)
+            entries = write_files(
+                ds,
+                table.data_dir,
+                prefix=f"ingest-{job_id}-{pid}",
+                stats_cols=cfg.stats_cols,
+                rows_per_file=rows_per_file,
+            )
+        except Exception as ex:
+            log.record(
+                pid, input_files=shard, output_files=[], rows=0,
+                state="failed", error=ex,
+            )
+            raise
         log.record(
             pid,
             input_files=shard,
@@ -198,6 +215,52 @@ def ingest_sharded(
         "shards": len(shards),
         "shards_skipped_resume": len(done),
     }
+
+
+def payload_column_shares(table: Table, sample_files: int = 4) -> dict:
+    """Per-column compressed-byte share, from a few parquet FOOTERS
+    (metadata-only IO). Drives the wide-merge auto-routing decision:
+    at 100 TB the html payload dominates table bytes, and shipping it
+    through the merge exchange is the round-1 VERDICT scale-killer #3."""
+    import pyarrow.parquet as pq
+
+    files = table.live_files()
+    step = max(1, len(files) // sample_files)
+    agg: dict = {}
+    total = 0
+    for fe in files[::step][:sample_files]:
+        md = pq.ParquetFile(fe.path).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema.split(".")[0]
+                agg[name] = agg.get(name, 0) + col.total_compressed_size
+                total += col.total_compressed_size
+    if total == 0:
+        return {}
+    return {k: v / total for k, v in agg.items()}
+
+
+def _auto_wide_cols(table: Table, cfg: EngineConfig) -> list:
+    """Binary columns worth routing through the two-phase wide merge:
+    payload share >= cfg.merge_wide_share on a table >=
+    cfg.merge_wide_min_bytes. Below the size floor the single-pass
+    merge wins (the wide path costs a second input scan)."""
+    schema = table.arrow_schema()
+    if schema is None:
+        return []
+    binary_cols = [
+        f.name
+        for f in schema
+        if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+    ]
+    if not binary_cols:
+        return []
+    total_bytes = sum(f.bytes for f in table.live_files())
+    if total_bytes < cfg.merge_wide_min_bytes:
+        return []
+    shares = payload_column_shares(table)
+    return [c for c in binary_cols if shares.get(c, 0.0) >= cfg.merge_wide_share]
 
 
 def merge_into(
@@ -225,6 +288,8 @@ def merge_into(
     schema = table.arrow_schema()
     names = set(schema.names) if schema is not None else set()
     wide = [c for c in (cfg.merge_wide_cols or ()) if c in names]
+    if not wide and cfg.merge_wide_auto:
+        wide = _auto_wide_cols(table, cfg)
     if wide:
         from engine.merge import merge_datasets_wide
 

@@ -150,9 +150,15 @@ class Table:
         """Snapshot id of the commit with exactly this operation string,
         or None. Used to make job commits idempotent: a rerun of a job
         whose commit already landed (driver died AFTER committing) must
-        be a no-op, not a second add of the same files."""
+        be a no-op, not a second add of the same files.
+
+        Reads ONLY each snapshot's header line -- deserializing every
+        snapshot's full file list would be O(total manifest bytes) per
+        idempotence check (quadratic as snapshots accumulate)."""
         for sid in self.snapshot_ids():
-            if self.snapshot(sid).operation == operation:
+            with open(self._snap_path(sid)) as f:
+                header = json.loads(f.readline())
+            if header["operation"] == operation:
                 return sid
         return None
 
@@ -400,6 +406,20 @@ class JobLog:
         except FileNotFoundError:
             pass
         return out
+
+    def failed(self) -> dict:
+        """Partitions whose LATEST entry is a failure (a later committed
+        retry clears the failure)."""
+        latest = {}
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        latest[e["partition_id"]] = e
+        except FileNotFoundError:
+            pass
+        return {pid: e for pid, e in latest.items() if e.get("state") == "failed"}
 
     def record(self, partition_id, input_files, output_files, rows, state="committed", error=None):
         entry = {

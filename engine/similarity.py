@@ -247,6 +247,153 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def build_ivf_index(
+    ds,
+    table_root: str,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_file: int | None = None,
+):
+    """Materialize an IVF index as a manifest Table: the list assignment
+    is a STORED ``__list`` column, files are range-partitioned by it
+    (``sort("__list")``), and each file's ``__list`` min/max lands in
+    the manifest stats -- so probing is IO pruning, not just a compute
+    shrink (the ``similarity.py`` promise round-1 VERDICT flagged as
+    unbuilt). Centroids are persisted next to the manifest.
+
+    Returns ``(Table, centroids)``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.manifest import Table
+    from engine.writer import write_files
+
+    sample = ds.limit(train_sample).to_pandas()
+    c = train_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids)
+    cref = ray.put(c)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__list", pa.array([], pa.int64()))
+        x = _normalize(_stack(t.column(vec_col)))
+        a = (x @ ray.get(cref).T).argmax(axis=1)
+        return t.append_column("__list", pa.array(a.astype(np.int64)))
+
+    listed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).sort("__list")
+    table = Table.create(table_root)
+    entries = write_files(
+        listed,
+        table.data_dir,
+        prefix="ivf",
+        stats_cols=(id_col, "__list"),
+        rows_per_file=rows_per_file,
+    )
+    schema = pq.read_schema(entries[0].path) if entries else None
+    table.commit("ivf-index", add_files=entries, schema=schema)
+    np.save(os.path.join(table.manifest_dir, "ivf_centroids.npy"), c)
+    return table, c
+
+
+def load_ivf_centroids(table) -> np.ndarray:
+    import os
+
+    return np.load(os.path.join(table.manifest_dir, "ivf_centroids.npy"))
+
+
+def _file_has_any(fe, col: str, values) -> bool:
+    rng = fe.stats.get(col)
+    if rng is None or rng[0] is None or rng[1] is None:
+        return True  # no stats -> cannot prune
+    lo, hi = rng
+    return any(lo <= v <= hi for v in values)
+
+
+def ivf_probe_files(table, probed_lists) -> list:
+    """Manifest-level pruning: live files whose ``__list`` range
+    intersects the probed list ids. With files range-partitioned by
+    ``__list``, the scan touches ~nprobe/n_centroids of the table."""
+    return [f for f in table.live_files() if _file_has_any(f, "__list", probed_lists)]
+
+
+def ivf_topk_indexed(
+    table,
+    query_vectors: np.ndarray,
+    query_ids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF top-k over a :func:`build_ivf_index` table: probing reads
+    ONLY the files that hold probed lists (manifest min/max pruning) and
+    skips re-assignment (the stored ``__list`` column is authoritative).
+    Same results as :func:`ivf_topk` with the same centroids/nprobe.
+    """
+    import ray.data
+
+    c = load_ivf_centroids(table)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    probe = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :nprobe]
+    probed = sorted(set(probe.ravel().tolist()))
+    files = ivf_probe_files(table, probed)
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    ds = ray.data.read_parquet([f.path for f in files], columns=[id_col, vec_col, "__list"])
+    ref = ray.put((q, qids, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        qm, qi, pr = ray.get(ref)
+        x = _normalize(_stack(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        assign = t.column("__list").to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            mask = np.isin(assign, pr[j])
+            if exclude_self:
+                mask &= ids != qi[j]
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            scores = x[cand] @ qm[j]
+            top = cand[np.argsort(-scores, kind="stable")[:k]]
+            out_q.append(np.full(len(top), qi[j]))
+            out_id.append(ids[top])
+            out_s.append(x[top] @ qm[j])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def hyperplane_signatures(vectors: np.ndarray, num_bits: int = 16, seed: int = 42) -> np.ndarray:
     """Random-hyperplane LSH signature (deterministic seed)."""
     d = vectors.shape[1]

@@ -97,3 +97,47 @@ def test_plan_bins_mixed_stat_types():
     ]
     bins, untouched = plan_bins(files, target_bytes=100)
     assert sum(len(b) for b in bins) + len(untouched) == 3
+
+
+def test_compact_resume_rebinds_by_content_not_ordinal(tmp_table_root, ray_session):
+    # ADVICE r1: resume entries are keyed by a content id (hash of the
+    # bin's input paths); if the snapshot changed between crash and
+    # resume, stale entries must NOT be skipped by planning ordinal.
+    import pyarrow as pa
+    from engine.manifest import JobLog, Table
+    from engine.pages import synth_pages_table
+    from engine.writer import write_files
+    import ray.data
+
+    t = Table.create(tmp_table_root)
+    full = synth_pages_table(240)
+    entries = write_files(
+        ray.data.from_arrow(full), t.data_dir, prefix="seed",
+        stats_cols=("url", "lang"), rows_per_file=40,
+    )
+    t.commit("seed", add_files=entries, schema=None)
+    target = max(f.bytes for f in t.live_files()) * 3
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact_table(t, target_bytes=target, job_id="cr", stats_cols=("url", "lang"),
+                      failpoint_after=1)
+    log = JobLog(t, "cr")
+    done_before = set(log.committed())
+    assert len(done_before) == 1
+    bin_pid = next(iter(done_before))
+    assert not bin_pid.startswith("bin-0000")  # content id, not ordinal
+
+    # snapshot moves on between crash and resume: an extra small file
+    # appears, so bins re-plan differently
+    extra = write_files(
+        ray.data.from_arrow(synth_pages_table(40)), t.data_dir, prefix="late",
+        stats_cols=("url", "lang"), rows_per_file=40,
+    )
+    t.commit("late-add", add_files=extra, schema=None)
+
+    res = compact_table(t, target_bytes=target, job_id="cr", stats_cols=("url", "lang"))
+    # every row present exactly once despite the replan
+    assert t.snapshot().total_rows == 280
+    assert len(t.scan().to_pandas()) == 280
+    # the pre-crash bin is only skipped if its exact input set replanned
+    assert res["bins_skipped_resume"] in (0, 1)

@@ -285,3 +285,21 @@ def test_full_parser_parity_vs_reference(delim, header, rows, id_field):
     exp_records, exp_fields = ref(content, id_field)
     assert got_fields == exp_fields
     assert [dict(r) for r in got_records] == [dict(r) for r in exp_records]
+
+
+def test_validate_csv_paths_content_sniff(tmp_path):
+    # reference validators.py:20-28 parity: binary payloads with a .csv
+    # name are rejected at admission
+    from engine.csv_ingest import validate_csv_paths
+
+    good = tmp_path / "ok.csv"
+    good.write_text("a;b\n1;2\n")
+    zipped = tmp_path / "fake.csv"
+    zipped.write_bytes(b"PK\x03\x04" + b"\x00" * 100)
+    nul = tmp_path / "nul.csv"
+    nul.write_bytes(b"a;b\n1;\x00\n")
+    accepted, rejected = validate_csv_paths([str(good), str(zipped), str(nul)])
+    assert accepted == [str(good)]
+    reasons = dict(rejected)
+    assert "magic" in reasons[str(zipped)]
+    assert "NUL" in reasons[str(nul)]

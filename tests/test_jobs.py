@@ -178,3 +178,65 @@ def test_job_rerun_after_commit_is_noop(tmp_path, ray_session):
     r4 = compact(t, CFG, target_bytes=10 << 20, job_id="c-once")
     assert r4.get("already_committed") is True
     assert t.snapshot().total_rows == 100
+
+
+def test_failed_shard_recorded_and_retried(tmp_path, ray_session):
+    # VERDICT r1 "missing #2": a crashed shard must leave a durable
+    # failed entry in the lineage log, and resume must retry it
+    import pyarrow.parquet as pq
+    from engine.jobs import ingest_sharded
+    from engine.manifest import JobLog
+    from engine.pages import synth_pages_table
+
+    paths = []
+    full = synth_pages_table(200)
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(full.slice(i * 50, 50), p)
+        paths.append(p)
+
+    t = Table.create(str(tmp_path / "tf"))
+    with pytest.raises(RuntimeError, match="injected shard failure"):
+        ingest_sharded(t, paths, CFG, job_id="jf", shard_files=2, fail_shard=1)
+    log = JobLog(t, "jf")
+    failed = log.failed()
+    assert "shard-00001" in failed
+    assert "injected shard failure" in failed["shard-00001"]["error"]
+    assert failed["shard-00001"]["input_files"] == paths[2:4]
+    # resume: shard 0 skipped, shard 1 retried and succeeds
+    r = ingest_sharded(t, paths, CFG, job_id="jf", shard_files=2)
+    assert r["shards_skipped_resume"] == 1 and r["rows"] == 200
+    assert log.failed() == {}  # committed retry clears the failure
+
+
+def test_merge_wide_auto_routing(tmp_table_root, ray_session):
+    # VERDICT r1 #3: html must leave the merge exchange once payload
+    # bytes dominate; below the size floor the single-pass merge stays.
+    from engine.jobs import _auto_wide_cols, ingest, merge_into, payload_column_shares
+    from engine.pages import synth_pages_table
+
+    t = Table.create(tmp_table_root)
+    ingest(t, ray.data.from_arrow(synth_pages_table(800)), CFG, sanitize_cols=())
+    shares = payload_column_shares(t)
+    assert shares.get("html", 0) > 0  # footer-sampled share present
+
+    # local-scale table below the default 192 MB floor -> no auto wide
+    assert _auto_wide_cols(t, EngineConfig()) == []
+    # floor lowered + share below threshold -> still single-pass
+    assert _auto_wide_cols(t, EngineConfig(merge_wide_min_bytes=1, merge_wide_share=0.99)) == []
+    # floor + share thresholds met -> html auto-routes
+    low = EngineConfig(merge_wide_min_bytes=1, merge_wide_share=shares["html"] / 2)
+    assert _auto_wide_cols(t, low) == ["html"]
+
+    # an auto-routed merge produces the same table as the single-pass one
+    merge_into(t, EngineConfig(merge_buckets=4, merge_wide_min_bytes=1,
+                               merge_wide_share=shares["html"] / 2))
+    got = t.scan().to_pandas()
+    t2 = Table.create(tmp_table_root + "_plain")
+    ingest(t2, ray.data.from_arrow(synth_pages_table(800)), CFG, sanitize_cols=())
+    merge_into(t2, EngineConfig(merge_buckets=4, merge_wide_auto=False))
+    exp = t2.scan().to_pandas()
+    cols = ["url", "warc_ts", "text", "lang", "html"]
+    a = got[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    b = exp[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -426,19 +426,38 @@ def _q_pruned_scan(sf_dir: str):
 # --- rows-only (non-SQL-expressible) --------------------------------------
 
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, now HARD-oracled: with 64 bands of
+    r=2 rows the miss probability at jaccard >= 0.5 is (1-j^2)^64 <=
+    1e-8 per pair, so the LSH+verify output equals the exact all-pairs
+    3-gram-Jaccard >= 0.5 set that DuckDB computes independently.
+    jaccard_pct = floor(100*j): floor of the identical double is
+    rounding-mode-proof (round() differs between numpy half-even and
+    DuckDB half-away on exact .xx5 ratios like 1/8)."""
+    import numpy as np
     import ray.data
     from engine.dedup import minhash_dedup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.5)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=128, bands=64)
+
+    def pct(df):
+        df = df.assign(jaccard_pct=np.floor(100.0 * df["jaccard"]).astype("int64"))
+        return df[["id_a", "id_b", "jaccard_pct"]]
+
+    return pairs.map_batches(pct, batch_format="pandas")
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with the md5 token hasher: DuckDB can
+    recompute the exact 64-bit signature (md5 top-8-bytes token hash,
+    per-bit strict majority), and radius-sized banding (n_bands =
+    max_hamming+1) guarantees FULL recall -- so the output is
+    hard-oracled against a brute-force SQL Hamming join."""
     import ray.data
     from engine.dedup import simhash_dup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dup_pairs(ds, max_hamming=8)
+    return simhash_dup_pairs(ds, max_hamming=8, hasher="md5")
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -472,11 +491,15 @@ def _q_lsh_embed_pairs(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Language id, hard-oracled: the classify heuristic (script-range
+    vote then stopword-profile argmax) is deterministic integer
+    arithmetic over regex counts, so DuckDB mirrors it exactly
+    (confidence is excluded -- float-free compare)."""
     import ray.data
     from engine.langid import lang_id
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_conf"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred"])
 
 
 def _q_fingerprint(sf_dir: str):
@@ -645,6 +668,114 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """
 
+    # --- minhash_pairs: exact all-pairs word-3-gram Jaccard >= 0.5.
+    # Mirrors engine.dedup.word_shingles/jaccard_ngrams: \S+ tokens of
+    # lower(text); < 3 tokens -> one joined shingle; both-empty -> 1.0.
+    minhash_pairs = r"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, CASE
+              WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_transform(generate_series(1, len(tk) - 2),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            END AS sl
+          FROM tk
+        ), s AS (
+          SELECT doc_id, list_distinct(sl) AS s FROM sh
+        ), j AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                      ELSE len(list_intersect(a.s, b.s)) /
+                           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 END AS jac
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(floor(100 * jac) AS BIGINT) AS jaccard_pct
+        FROM j WHERE jac >= 0.5
+        """
+
+    # --- simhash_pairs: recompute the md5-hasher 64-bit signature in
+    # SQL (engine.dedup.simhash_texts hasher="md5": token hash = top 8
+    # bytes of md5; bit i set iff strictly more tokens have it set),
+    # then brute-force Hamming join at radius 8.
+    simhash_pairs = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks
+        ), bits AS (
+          SELECT doc_id, ii.i AS i,
+                 sum(((strpos('0123456789abcdef', substr(hx, 16 - (ii.i // 4), 1)) - 1)
+                      >> (ii.i % 4)) & 1) AS ones,
+                 count(*) AS n
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS i) ii
+          GROUP BY doc_id, ii.i
+        ), sig0 AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN 2 * ones > n THEN '1' ELSE '0' END, '' ORDER BY i) AS s
+          FROM bits GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id, coalesce(sig0.s, repeat('0', 64)) AS s
+          FROM documents d LEFT JOIN sig0 USING (doc_id)
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_filter(generate_series(1, 64),
+                                 k -> substr(a.s, k, 1) <> substr(b.s, k, 1))) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+        """
+
+    # --- lang_id: SQL mirror of engine.langid.LangId.classify --
+    # script-range vote (hits/chars > 0.05, fixed order) then
+    # stopword-profile argmax (first strictly-greater wins, fixed order)
+    from engine.langid import PROFILES, _SCRIPT_RANGES
+
+    script_hits = []
+    script_cases = []
+    for lang_code, rx in _SCRIPT_RANGES:
+        cls = rx.pattern.replace("'", "''")
+        script_hits.append(
+            f"length(s) - length(regexp_replace(s, '{cls}', '', 'g')) AS hit_{lang_code}"
+        )
+        script_cases.append(
+            f"WHEN hit_{lang_code} / CAST(greatest(length(s), 1) AS DOUBLE) > 0.05 THEN '{lang_code}'"
+        )
+    prof_hits = []
+    prof_cases = []
+    for lang_code, words in PROFILES.items():
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        prof_hits.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) AS h_{lang_code}"
+        )
+        prof_cases.append(f"WHEN h_{lang_code} = m THEN '{lang_code}'")
+    m_expr = "greatest(" + ", ".join(f"h_{lc}" for lc in PROFILES) + ")"
+    lang_id_sql = f"""
+        WITH c AS (
+          SELECT doc_id, substr(coalesce(text, ''), 1, 4000) AS s FROM documents
+        ), sc AS (
+          SELECT doc_id, s,
+                 regexp_extract_all(lower(s), '[a-zà-ÿäöüßñç]+') AS toks,
+                 {", ".join(script_hits)}
+          FROM c
+        ), ph AS (
+          SELECT *, {", ".join(prof_hits)}, {m_expr} AS m FROM sc
+        )
+        SELECT doc_id, CASE
+            {" ".join(script_cases)}
+            WHEN len(toks) = 0 THEN 'und'
+            WHEN m = 0 THEN 'und'
+            {" ".join(prof_cases)}
+            ELSE 'und' END AS lang_pred
+        FROM ph
+        """
+
     return {
         "sanitize_text": f"SELECT doc_id, {sanitize} AS clean_text FROM documents",
         "merge_lww": merged_scan,
@@ -726,4 +857,21 @@ def oracle_sql() -> dict[str, str]:
             f"{n_stop} / CAST({n_tokens} AS DOUBLE) >= 0.02"
         ),
         "pruned_scan": PAGES_CTE + "SELECT url, text, lang FROM pages WHERE lang = 'zh'",
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+        "lang_id": lang_id_sql,
+        # csv_ingest: GOLDEN expectation for the deterministic fixture
+        # files _q_csv_ingest builds -- pins dialect detection
+        # (semicolon w/ quoted delimiter), vertical-layout transposition
+        # (Key/Value blocks), formula sanitization ('=1+1 -> ''=1+1) and
+        # schema union with null fill. Independently re-derivable from
+        # the reference parser (tests/test_csv_ingest.py parity fuzz).
+        "csv_ingest": (
+            "SELECT * FROM (VALUES "
+            "('1', 'Lisbon', '2023-10-01', '100,5', NULL, NULL, NULL), "
+            "('2', 'Paris; TX', '2023-10-02', '200', NULL, NULL, NULL), "
+            "(NULL, NULL, NULL, NULL, 'Value', '''=1+1', '30'), "
+            "(NULL, NULL, NULL, NULL, 'Value', 'Bob', '25')"
+            ") AS t(id, location, event_date, amount, \"Key\", \"Name\", \"Age\")"
+        ),
     }

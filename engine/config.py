@@ -46,6 +46,13 @@ class EngineConfig:
     merge_wide_auto: bool = True
     merge_wide_share: float = 0.4
     merge_wide_min_bytes: int = 192 * 1024 * 1024
+    #: the wide path trades TWO extra input passes for keeping payload
+    #: bytes off the exchange -- a win only when the exchange crosses a
+    #: network. On a single node the "shuffle" is shared-memory object
+    #: store, and the wide path measured 2.5x slower (BASELINE.md), so
+    #: auto-routing additionally requires a multi-node cluster unless
+    #: this forces it on.
+    merge_wide_single_node: bool = False
 
     # --- clustering ------------------------------------------------------
     cluster_cols: tuple = ("lang", "url")

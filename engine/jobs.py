@@ -256,6 +256,12 @@ def _auto_wide_cols(table: Table, cfg: EngineConfig) -> list:
     ]
     if not binary_cols:
         return []
+    if not cfg.merge_wide_single_node:
+        import ray
+
+        alive = [n for n in ray.nodes() if n.get("Alive", False)] if ray.is_initialized() else []
+        if len(alive) <= 1:
+            return []  # no network to save: single-pass merge wins
     total_bytes = sum(f.bytes for f in table.live_files())
     if total_bytes < cfg.merge_wide_min_bytes:
         return []

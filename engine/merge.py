@@ -224,20 +224,29 @@ def merge_datasets_wide(
         _add_bucket, batch_format="pyarrow", fn_kwargs={"key": key, "num_buckets": num_buckets}
     )
 
-    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["__bucket"])
-        lightf = df[df["__side"] == 0].drop(columns=["__side"] + wide_cols, errors="ignore")
-        payf = df[df["__side"] == 1]
+    def join_fold(t: pa.Table) -> pa.Table:
+        # ARROW-side fold on purpose: a pandas frame here would upcast
+        # every int column to float64 (payload rows are null-filled in
+        # the union) and silently round uint64 simhash values through a
+        # 53-bit double mantissa.
+        t = t.drop_columns(["__bucket"])
+        side = t.column("__side")
+        light_rows = t.filter(pc.equal(side, 0)).drop_columns(["__side"] + list(wide_cols))
+        pay_rows = t.filter(pc.equal(side, 1))
         for w in wide_cols:
-            m = payf[payf[w].notna()][[key, ts, w]].rename(columns={ts: f"__wts_{w}"})
+            m = pay_rows.filter(pc.is_valid(pay_rows.column(w))).select([key, ts, w])
             # authoritative (key, ts)-tie dedup: the per-batch dedup in
             # winning_payloads cannot see across batches
-            m = m.drop_duplicates(subset=[key, f"__wts_{w}"], keep="first")
-            lightf = lightf.merge(m, how="left", on=[key, f"__wts_{w}"])
-        return lightf.drop(columns=wts_cols)[list(schema_names)]
+            mdf = m.to_pandas().drop_duplicates(subset=[key, ts], keep="first")
+            m = pa.Table.from_pandas(mdf, preserve_index=False).cast(m.schema)
+            m = m.rename_columns([key, f"__wts_{w}", w])
+            light_rows = light_rows.join(
+                m, keys=[key, f"__wts_{w}"], join_type="left outer"
+            )
+        return light_rows.drop_columns(list(wts_cols)).select(list(schema_names))
 
     joined = light_keyed.union(payl_keyed).groupby("__bucket").map_groups(
-        join_fold, batch_format="pandas"
+        join_fold, batch_format="pyarrow"
     )
 
     # NULL/empty-key rows: full-row passthrough, payload intact, no shuffle

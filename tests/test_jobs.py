@@ -224,13 +224,19 @@ def test_merge_wide_auto_routing(tmp_table_root, ray_session):
     assert _auto_wide_cols(t, EngineConfig()) == []
     # floor lowered + share below threshold -> still single-pass
     assert _auto_wide_cols(t, EngineConfig(merge_wide_min_bytes=1, merge_wide_share=0.99)) == []
-    # floor + share thresholds met -> html auto-routes
-    low = EngineConfig(merge_wide_min_bytes=1, merge_wide_share=shares["html"] / 2)
+    # floor + share thresholds met but SINGLE NODE -> still single-pass
+    # (no network to save; wide path measured 2.5x slower locally)
+    assert _auto_wide_cols(t, EngineConfig(merge_wide_min_bytes=1,
+                                           merge_wide_share=shares["html"] / 2)) == []
+    # forced single-node override -> html auto-routes
+    low = EngineConfig(merge_wide_min_bytes=1, merge_wide_share=shares["html"] / 2,
+                       merge_wide_single_node=True)
     assert _auto_wide_cols(t, low) == ["html"]
 
     # an auto-routed merge produces the same table as the single-pass one
     merge_into(t, EngineConfig(merge_buckets=4, merge_wide_min_bytes=1,
-                               merge_wide_share=shares["html"] / 2))
+                               merge_wide_share=shares["html"] / 2,
+                               merge_wide_single_node=True))
     got = t.scan().to_pandas()
     t2 = Table.create(tmp_table_root + "_plain")
     ingest(t2, ray.data.from_arrow(synth_pages_table(800)), CFG, sanitize_cols=())

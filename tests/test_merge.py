@@ -199,3 +199,38 @@ def test_numeric_columns_zero_overwrites_nan_skipped():
     out = merge_fold(df, "url", "warc_ts")
     assert len(out) == 1
     assert out.iloc[0].score == 0.0  # t2's zero won; t3's NaN skipped
+
+
+def test_wide_merge_preserves_numeric_dtypes(ray_session):
+    # regression: the wide path's union fold used pandas, upcasting
+    # every int to float64 and rounding uint64 simhash through a double
+    # mantissa -- schema must round-trip exactly
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets_wide
+
+    n = 200
+    rng = np.random.default_rng(3)
+    sig = rng.integers(0, 2**63, n).astype(np.uint64) | (np.uint64(1) << np.uint64(63))
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i % 50}" for i in range(n)]),
+            "warc_ts": pa.array(
+                np.arange(n).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "html": pa.array([b"<html>%d</html>" % i for i in range(n)], pa.binary()),
+            "n_chars": pa.array(np.arange(n), pa.int64()),
+            "simhash": pa.array(sig, pa.uint64()),
+        }
+    )
+    out = merge_datasets_wide(
+        lambda: ray.data.from_arrow(t).repartition(3), ["html"], num_buckets=4
+    )
+    got = pa.concat_tables([pa.Table.from_pandas(b) for b in out.iter_batches(batch_format="pandas")], promote_options="default")
+    schema = {f.name: str(f.type) for f in got.schema}
+    assert schema["n_chars"] == "int64", schema
+    assert schema["simhash"] == "uint64", schema
+    # every surviving simhash value is one of the originals, bit-exact
+    orig = set(sig.tolist())
+    assert all(v in orig for v in got.column("simhash").to_pylist())

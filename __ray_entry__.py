@@ -193,20 +193,24 @@ def _q_distinct_ratio(sf_dir: str):
 
 
 def _q_type_score(sf_dir: str):
-    """A3 partial+final: per-batch (matched, total) pairs -> driver ratio."""
+    """A3 partial+final: per-batch (matched, total) pairs -> driver
+    ratio. Vectorized: one C-loop ``str.match`` pass per pattern, OR'd
+    -- no per-cell Python (round-1 VERDICT #7)."""
+    import numpy as np
     import pandas as pd
-    import pyarrow as pa
     import ray.data
     from engine.infer import TYPE_PATTERNS
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        cells = t.column("text").to_pylist()
-        matched = sum(1 for c in cells if any(p.match((c or "").strip()) for p in TYPE_PATTERNS))
-        return pa.table({"matched": pa.array([matched], pa.int64()), "total": pa.array([len(cells)], pa.int64())})
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.strip()
+        m = np.zeros(len(s), dtype=bool)
+        for p in TYPE_PATTERNS:
+            m |= s.str.match(p).to_numpy(dtype=bool)
+        return pd.DataFrame({"matched": [int(m.sum())], "total": [len(s)]})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     return pd.DataFrame({"type_score": [parts.matched.sum() / parts.total.sum()]})
 
 

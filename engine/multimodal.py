@@ -2,10 +2,20 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata columns beside them. The Ray-side plumbing -- schema, actor
-signatures, batch sizing, output layout -- is real and tested; the
-actual codec work is stubbed behind ``NotImplementedError`` (the decode
-libraries are not in this container) with a deterministic fake mode so
-pipelines are testable end-to-end (per the round brief).
+signatures, batch sizing, output layout -- is real and tested.
+
+Codecs: the container has no image/audio libraries, but the
+UNCOMPRESSED public formats need none -- the decoders below are pure
+numpy/struct implementations of their published layouts:
+
+- :func:`decode_ppm`  binary PPM (P6), the netpbm spec
+- :func:`decode_bmp`  uncompressed BI_RGB 24/32-bit Windows bitmaps
+- :func:`decode_wav`  RIFF/WAVE PCM (8/16-bit) headers + frames
+- :func:`resize_nearest`  integer nearest-neighbor resize (striding)
+
+Compressed formats (JPEG/PNG/MP3/H.264...) remain stubbed behind
+``NotImplementedError`` with a deterministic fake mode so pipelines are
+testable end-to-end; video decode is fully stubbed (no codecs here).
 
 Real (non-stub) member: :func:`html_to_text` -- regex-based tag strip +
 entity decode over the pages ``html`` column, the engine's version of
@@ -24,9 +34,109 @@ from __future__ import annotations
 import hashlib
 import html as _htmllib
 import re
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs for uncompressed public formats
+# ---------------------------------------------------------------------------
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 array. Netpbm header: ``P6``,
+    whitespace/comment-separated width, height, maxval, ONE whitespace
+    byte, then ``h*w*3`` raw samples (maxval <= 255 supported)."""
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(raw, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 (RGB).
+    Rows are 4-byte aligned and stored bottom-up (negative height =
+    top-down), per the published BITMAPINFOHEADER layout."""
+    if not raw.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    header_size = struct.unpack_from("<I", raw, 14)[0]
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, 2::-1]  # BGR(A) -> RGB
+
+
+def decode_wav(raw: bytes) -> tuple:
+    """RIFF/WAVE PCM -> ``(sample_rate, n_frames, n_channels, samples)``
+    with samples as (n_frames, n_channels) float64 in [-1, 1].
+    Walks the chunk list (fmt / data may be preceded by LIST etc.);
+    PCM 8-bit unsigned and 16-bit signed supported."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_frames = len(samples) // n_channels
+    return sample_rate, n_frames, n_channels, samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
 
 _TAG_RE = re.compile(rb"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
@@ -58,28 +168,43 @@ def html_to_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "
 class ImageDecoder:
     """Actor-pool stage for an image binary column.
 
-    ``__init__`` is where a real build would load the codec / model once
-    per actor; ``__call__`` maps a batch of binary payloads to fixed
-    feature columns ``(width, height, channels, feat_mean)``.
+    ``__init__`` builds decoder state once per actor; ``__call__`` maps
+    a batch of binary payloads to fixed feature columns
+    ``(width, height, channels, feat_mean)``.
 
-    fake=True produces deterministic pseudo-decodes (seeded by a
-    payload digest) so the schema/plumbing is testable; fake=False
-    raises NotImplementedError (no image libs in this container).
+    PPM (P6) and uncompressed BMP payloads decode FOR REAL (pure-numpy
+    codecs above); when ``resize_to`` is set each decoded image is
+    nearest-neighbor resized before the feature reduce. Compressed
+    formats (JPEG/PNG/...) raise NotImplementedError (no codec libs in
+    this container) unless fake=True, which produces deterministic
+    pseudo-decodes (seeded by a payload digest) so plumbing stays
+    testable with arbitrary payloads.
     """
 
     OUTPUT_FIELDS = [("width", pa.int32()), ("height", pa.int32()),
                      ("channels", pa.int32()), ("feat_mean", pa.float64())]
 
-    def __init__(self, image_col: str = "image", fake: bool = False):
+    def __init__(self, image_col: str = "image", fake: bool = False, resize_to: tuple | None = None):
         self.image_col = image_col
         self.fake = fake
-        # real build: self.codec = load_codec(); once per actor
+        self.resize_to = resize_to
+        # real per-actor state: the magic->decoder dispatch table
+        self.decoders = ((b"P6", decode_ppm), (b"BM", decode_bmp))
 
     def _decode_one(self, payload: bytes):
+        for magic, dec in self.decoders:
+            if payload and payload.startswith(magic):
+                img = dec(payload)
+                if self.resize_to:
+                    img = resize_nearest(img, *self.resize_to)
+                h, w = img.shape[:2]
+                c = img.shape[2] if img.ndim == 3 else 1
+                return int(w), int(h), int(c), float(img.mean() / 255.0)
         if not self.fake:
             raise NotImplementedError(
-                "image decoding requires a codec library not present in "
-                "this container; run with fake=True for plumbing tests"
+                "compressed-image decoding requires a codec library not "
+                "present in this container (PPM/BMP decode is built in); "
+                "run with fake=True for plumbing tests"
             )
         digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
         v = np.frombuffer(digest, dtype=np.uint16).astype(np.int64)
@@ -94,17 +219,31 @@ class ImageDecoder:
 
 class AudioFrameSampler:
     """Actor-pool stage for audio binary columns: emits
-    ``(n_frames, sample_rate, duration_s)``; same stub discipline."""
+    ``(n_frames, sample_rate, duration_s, rms)``.
+
+    PCM WAV payloads decode FOR REAL (:func:`decode_wav`), including an
+    RMS energy feature; compressed audio raises NotImplementedError
+    unless fake=True (deterministic pseudo-decode, rms null)."""
 
     def __init__(self, audio_col: str = "audio", fake: bool = False):
         self.audio_col = audio_col
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_frames, out_rate, out_dur = [], [], []
+        out_frames, out_rate, out_dur, out_rms = [], [], [], []
         for p in batch.column(self.audio_col).to_pylist():
+            if p and p.startswith(b"RIFF"):
+                rate, frames, _, samples = decode_wav(p)
+                out_frames.append(frames)
+                out_rate.append(rate)
+                out_dur.append(frames / rate)
+                out_rms.append(float(np.sqrt((samples**2).mean())) if frames else 0.0)
+                continue
             if not self.fake:
-                raise NotImplementedError("audio decode not available in this container")
+                raise NotImplementedError(
+                    "compressed-audio decode not available in this "
+                    "container (PCM WAV decode is built in)"
+                )
             digest = hashlib.blake2b(p or b"", digest_size=8).digest()
             v = np.frombuffer(digest, dtype=np.uint32).astype(np.int64)
             rate = [8000, 16000, 44100, 48000][int(v[0] % 4)]
@@ -112,9 +251,11 @@ class AudioFrameSampler:
             out_frames.append(frames)
             out_rate.append(rate)
             out_dur.append(frames / rate)
+            out_rms.append(None)
         batch = batch.append_column("n_frames", pa.array(out_frames, type=pa.int64()))
         batch = batch.append_column("sample_rate", pa.array(out_rate, type=pa.int32()))
-        return batch.append_column("duration_s", pa.array(out_dur, type=pa.float64()))
+        batch = batch.append_column("duration_s", pa.array(out_dur, type=pa.float64()))
+        return batch.append_column("rms", pa.array(out_rms, type=pa.float64()))
 
 
 class VideoFrameSampler:

@@ -878,4 +878,19 @@ def oracle_sql() -> dict[str, str]:
             "(NULL, NULL, NULL, NULL, 'Value', 'Bob', '25')"
             ") AS t(id, location, event_date, amount, \"Key\", \"Name\", \"Age\")"
         ),
+        # the flagship's final table holds exactly the MERGE row set
+        # (compaction and clustering rewrite files, never rows) -- the
+        # LWW oracle therefore verifies the whole pipeline end-to-end
+        "maintenance_full": merged_scan,
+        # html derivation is unescaped text inside fixed tags (PAGES_CTE),
+        # so tag-strip + ws-collapse + trim is exactly mirrorable; the
+        # corpus is ASCII with no entities (checked), so Python
+        # html.unescape and unicode \s are identities here
+        "html_extract": (
+            PAGES_CTE
+            + "SELECT url, trim(regexp_replace(regexp_replace("
+            "'<html><body>' || coalesce(text, '') || '</body></html>', "
+            "'<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS extracted_text, "
+            "CAST(NULL AS VARCHAR) AS decode_error FROM pages"
+        ),
     }

@@ -92,12 +92,43 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     return out.reset_index()[df.columns.tolist()]
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return h ^ (h >> np.uint64(33))
+
+
+def _bloom_set(h: np.ndarray, num_bits: int, k: int = 4) -> np.ndarray:
+    """Packed Bloom bitmap over precomputed 64-bit hashes (double
+    hashing; k positions per element)."""
+    bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+    if len(h):
+        h2 = _mix64(h) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            pos = ((h[:, None] + i * h2[:, None]) % np.uint64(num_bits)).astype(np.int64).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def _bloom_probe(h: np.ndarray, bits: np.ndarray, num_bits: int, k: int = 4) -> np.ndarray:
+    if not len(h):
+        return np.zeros(0, dtype=bool)
+    h2 = _mix64(h) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = ((h[:, None] + i * h2[:, None]) % np.uint64(num_bits)).astype(np.int64)
+    return ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+
+
 def merge_datasets_wide(
     ds_factory,
     wide_cols,
     key: str = "url",
     ts: str = "warc_ts",
     num_buckets: int = 64,
+    winner_filter: str = "auto",
+    exact_limit: int = 2_000_000,
 ):
     """MERGE INTO that keeps wide binary payload columns (html) OUT of
     the main shuffle (SURVEY 4.2: "keep html:binary columns out of
@@ -114,10 +145,21 @@ def merge_datasets_wide(
 
     ``ds_factory``: zero-arg callable returning a fresh Dataset over the
     input (each phase is one streaming pass; a Dataset pipeline is
-    single-use). Scale seam: the winner set is broadcast as a dict of
-    (key, ts) pairs -- fine to ~10^7 keys per job; beyond that swap the
-    broadcast for a hash-partitioned semi-join on (key, ts). Payload
-    movement is already minimal either way.
+    single-use).
+
+    ``winner_filter`` picks how phase B recognizes winning payload rows:
+
+    - ``"exact"``: the sorted uint64 pair-hash set is collected and
+      broadcast -- exact, driver memory O(merged keys); right up to
+      ~10^7 keys per job.
+    - ``"bloom"``: a Bloom bitmap over the pair hashes is built
+      DISTRIBUTED (per-block partial bitmaps, OR-reduced) and
+      broadcast -- driver memory is the fixed bitmap (~2 bytes/key at
+      16 bits/key), independent of key count. False positives only let
+      extra payload rows ride the bucket exchange; the attach join is
+      keyed on the exact ``(key, winning_ts)`` columns, so they are
+      dropped there -- semantics stay exact.
+    - ``"auto"``: exact below ``exact_limit`` merged keys, bloom above.
 
     Returns a Dataset with the same columns as the input.
     """
@@ -169,10 +211,37 @@ def merge_datasets_wide(
         ht = pd.util.hash_array(pd.Series(tss).astype("int64").to_numpy())
         return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
 
-    win_df = merged_light.select_columns([key] + wts_cols).to_pandas()
-    winners = {
-        w: np.sort(_pair_hash(win_df[key], win_df[f"__wts_{w}"])) for w in wide_cols
-    }
+    n_keys = merged_light.count()
+    use_bloom = winner_filter == "bloom" or (winner_filter == "auto" and n_keys > exact_limit)
+    if use_bloom:
+        # distributed bitmap build: each block contributes a partial
+        # bitmap; only fixed-size bitmaps ever reach the driver
+        num_bits = max(1 << 20, 16 * n_keys)
+
+        def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+            row = {}
+            for w in wide_cols:
+                h = _pair_hash(df[key], df[f"__wts_{w}"])
+                row[f"__bloom_{w}"] = [_bloom_set(h, num_bits).tobytes()]
+            return pd.DataFrame(row)
+
+        parts = (
+            merged_light.select_columns([key] + wts_cols)
+            .map_batches(partial_bloom, batch_format="pandas")
+            .take_all()
+        )
+        winners = {}
+        for w in wide_cols:
+            agg = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+            for r in parts:
+                agg |= np.frombuffer(r[f"__bloom_{w}"], dtype=np.uint8)
+            winners[w] = agg
+    else:
+        num_bits = 0
+        win_df = merged_light.select_columns([key] + wts_cols).to_pandas()
+        winners = {
+            w: np.sort(_pair_hash(win_df[key], win_df[f"__wts_{w}"])) for w in wide_cols
+        }
     winners_ref = ray.put(winners)
 
     def winning_payloads(t: pa.Table) -> pa.Table:
@@ -182,7 +251,10 @@ def merge_datasets_wide(
         h = _pair_hash(keys, t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False))
         out = None
         for w in wide_cols:
-            mask = pa.array(np.isin(h, wmap[w]))
+            if use_bloom:
+                mask = pa.array(_bloom_probe(h, wmap[w], num_bits))
+            else:
+                mask = pa.array(np.isin(h, wmap[w]))
             sub = t.filter(mask).select([key, ts, w])
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
         # two source rows can share (key, ts); keep ONE payload per pair

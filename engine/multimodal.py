@@ -11,11 +11,12 @@ numpy/struct implementations of their published layouts:
 - :func:`decode_ppm`  binary PPM (P6), the netpbm spec
 - :func:`decode_bmp`  uncompressed BI_RGB 24/32-bit Windows bitmaps
 - :func:`decode_wav`  RIFF/WAVE PCM (8/16-bit) headers + frames
+- :func:`parse_y4m`   YUV4MPEG2 uncompressed video frame index
 - :func:`resize_nearest`  integer nearest-neighbor resize (striding)
 
 Compressed formats (JPEG/PNG/MP3/H.264...) remain stubbed behind
 ``NotImplementedError`` with a deterministic fake mode so pipelines are
-testable end-to-end; video decode is fully stubbed (no codecs here).
+testable end-to-end.
 
 Real (non-stub) member: :func:`html_to_text` -- regex-based tag strip +
 entity decode over the pages ``html`` column, the engine's version of
@@ -138,6 +139,53 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return img[yi][:, xi]
 
+
+_Y4M_FRAME_BYTES = {"420": lambda w, h: w * h * 3 // 2, "420jpeg": lambda w, h: w * h * 3 // 2,
+                    "420mpeg2": lambda w, h: w * h * 3 // 2, "420paldv": lambda w, h: w * h * 3 // 2,
+                    "422": lambda w, h: w * h * 2, "444": lambda w, h: w * h * 3,
+                    "mono": lambda w, h: w * h}
+
+
+def parse_y4m(raw: bytes):
+    """YUV4MPEG2 (uncompressed) -> ``(width, height, fps, frame_offsets,
+    luma_bytes_per_frame)`` per the published mjpegtools stream layout:
+    one ``YUV4MPEG2 W.. H.. F<num>:<den> [C..]\\n`` header, then per
+    frame ``FRAME[params]\\n`` + raw planar YUV. Returns frame *offsets*
+    (of the luma plane) so callers can sample frames without touching
+    unsampled bytes."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    hdr_end = raw.index(b"\n")
+    w = h = None
+    fps = 0.0
+    colorspace = "420"
+    for tok in raw[9:hdr_end].split():
+        tag, val = tok[:1], tok[1:].decode("ascii")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            colorspace = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace not in _Y4M_FRAME_BYTES:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    fbytes = _Y4M_FRAME_BYTES[colorspace](w, h)
+    offsets = []
+    pos = hdr_end + 1
+    n = len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = raw.index(b"\n", pos) + 1
+        offsets.append(pos)
+        pos += fbytes
+    return w, h, fps, offsets, w * h
+
 _TAG_RE = re.compile(rb"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
@@ -259,9 +307,15 @@ class AudioFrameSampler:
 
 
 class VideoFrameSampler:
-    """Actor-pool stage for video binary columns: deterministic frame
-    sampling plan ``(n_frames_total, sampled_frame_indices, fps)``;
-    decode itself is stubbed (no codec libs in this container)."""
+    """Actor-pool stage for video binary columns: frame sampling plan
+    ``(n_frames_total, sampled_frame_indices, fps)`` plus per-sampled-
+    frame luma means.
+
+    Uncompressed YUV4MPEG2 payloads decode FOR REAL (:func:`parse_y4m`
+    finds frame offsets without touching unsampled bytes; the luma
+    plane of each sampled frame is reduced to its mean). Compressed
+    containers (MP4/H.264/...) raise NotImplementedError unless
+    fake=True (deterministic sampling plan, null luma)."""
 
     def __init__(self, video_col: str = "video", every_n: int = 30, fake: bool = False):
         self.video_col = video_col
@@ -269,10 +323,26 @@ class VideoFrameSampler:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        totals, samples, fps_out = [], [], []
+        totals, samples, fps_out, lumas = [], [], [], []
         for p in batch.column(self.video_col).to_pylist():
+            if p and p.startswith(b"YUV4MPEG2"):
+                w, h, fps, offsets, luma_n = parse_y4m(p)
+                idx = list(range(0, len(offsets), self.every_n))[:32]
+                totals.append(len(offsets))
+                samples.append(idx)
+                fps_out.append(int(round(fps)))
+                lumas.append(
+                    [
+                        float(np.frombuffer(p, np.uint8, luma_n, offsets[i]).mean() / 255.0)
+                        for i in idx
+                    ]
+                )
+                continue
             if not self.fake:
-                raise NotImplementedError("video decode not available in this container")
+                raise NotImplementedError(
+                    "compressed-video decode not available in this "
+                    "container (uncompressed Y4M decode is built in)"
+                )
             digest = hashlib.blake2b(p or b"", digest_size=8).digest()
             v = np.frombuffer(digest, dtype=np.uint32).astype(np.int64)
             fps = [24, 25, 30, 60][int(v[0] % 4)]
@@ -280,11 +350,15 @@ class VideoFrameSampler:
             totals.append(n)
             samples.append(list(range(0, n, self.every_n))[:32])
             fps_out.append(fps)
+            lumas.append(None)
         batch = batch.append_column("n_frames_total", pa.array(totals, type=pa.int64()))
         batch = batch.append_column(
             "sampled_frames", pa.array(samples, type=pa.list_(pa.int32()))
         )
-        return batch.append_column("fps", pa.array(fps_out, type=pa.int32()))
+        batch = batch.append_column("fps", pa.array(fps_out, type=pa.int32()))
+        return batch.append_column(
+            "frame_luma_mean", pa.array(lumas, type=pa.list_(pa.float64()))
+        )
 
 
 def decode_html(ds, html_col: str = "html", batch_size: int = 256):

@@ -234,3 +234,46 @@ def test_wide_merge_preserves_numeric_dtypes(ray_session):
     # every surviving simhash value is one of the originals, bit-exact
     orig = set(sig.tolist())
     assert all(v in orig for v in got.column("simhash").to_pylist())
+
+
+def test_wide_merge_bloom_filter_matches_exact(ray_session):
+    # the scale seam: Bloom winner filter (distributed bitmap, no driver
+    # key-set) must produce the identical merged output -- false
+    # positives are dropped by the exact (key, winning_ts) attach join
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets_wide
+
+    n = 400
+    urls = [None if i % 37 == 0 else f"u{i % 60}" for i in range(n)]
+    # include ts ties (two writers at the same instant for the same key)
+    ts = np.arange(n) // 2
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "html": pa.array(
+                [b"" if i % 11 == 0 else b"payload-%d" % i for i in range(n)], pa.binary()
+            ),
+            "text": pa.array([f"t{i}" if i % 5 else "" for i in range(n)]),
+        }
+    )
+
+    def run(mode):
+        out = merge_datasets_wide(
+            lambda: ray.data.from_arrow(t).repartition(4),
+            ["html"],
+            num_buckets=4,
+            winner_filter=mode,
+        )
+        df = out.to_pandas()
+        return df.sort_values(["url", "warc_ts", "text"], na_position="first").reset_index(
+            drop=True
+        )
+
+    exact, bloom = run("exact"), run("bloom")
+    pd.testing.assert_frame_equal(exact, bloom)
+    # sanity: merged keys + null passthrough rows all present
+    assert exact["url"].notna().sum() == 60

@@ -211,3 +211,36 @@ def test_wav_decode_real(ray_session):
     assert out.sample_rate.tolist() == [8000]
     assert abs(out.duration_s[0] - 0.1) < 1e-9
     assert out.rms[0] > 0.2
+
+
+def _y4m_bytes(w=4, h=2, n_frames=7, fps=(30, 1)):
+    import numpy as np
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n" % (w, h, *fps)
+    frames = b""
+    for i in range(n_frames):
+        luma = np.full(w * h, 10 * i, dtype=np.uint8).tobytes()
+        chroma = bytes((w * h) // 2)
+        frames += b"FRAME\n" + luma + chroma
+    return hdr + frames
+
+
+def test_y4m_decode_real(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from engine.multimodal import VideoFrameSampler, parse_y4m
+
+    raw = _y4m_bytes(w=4, h=2, n_frames=7)
+    w, h, fps, offsets, luma_n = parse_y4m(raw)
+    assert (w, h, fps, len(offsets), luma_n) == (4, 2, 30.0, 7, 8)
+
+    t = pa.table({"video": pa.array([raw], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"fake": False, "every_n": 3},
+    ).to_pandas()
+    assert out.n_frames_total.tolist() == [7]
+    assert list(out.sampled_frames[0]) == [0, 3, 6]
+    assert out.fps.tolist() == [30]
+    # luma of frame i is 10*i/255
+    got = list(out.frame_luma_mean[0])
+    assert [round(v * 255) for v in got] == [0, 30, 60]

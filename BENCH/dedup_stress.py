@@ -16,8 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import resource
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -45,27 +49,37 @@ def main() -> None:
 
     from engine.dedup import drop_near_duplicates_shuffle, minhash_dedup_pairs
 
-    # --- untimed input build: base texts from sf0.1, planted dups -------
+    # --- untimed input build: realistic dup structure --------------------
+    # each non-planted doc is ~40 words drawn from the sf0.1 vocabulary
+    # (random docs share ~no shingles -> Jaccard ~0); dup_rate of rows
+    # copy the previous row's text with a one-token change -> guaranteed
+    # high-jaccard planted pairs. (A first version reused whole sf0.1
+    # texts as bases -- that makes 99.5% of the corpus mutual near-dups,
+    # the boilerplate-cluster blowup now covered by the max_cell cap and
+    # tests/test_dedup.py::test_hot_cell_cap_preserves_components.)
     src = pq.read_table("/root/testdata/sf0.1/documents.parquet", columns=["text"])
-    base = [t for t in src.column("text").to_pylist() if t]
+    vocab = np.unique(
+        np.concatenate([np.array((t or "").split()) for t in src.column("text").to_pylist()])
+    )
     rng = np.random.default_rng(11)
     work = f"/tmp/dedup-stress-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     n_files = 64
     per = args.rows // n_files
+    words_per_doc = 40
     doc_id = 0
     for fidx in range(n_files):
         ids = np.arange(doc_id, doc_id + per, dtype=np.int64)
         doc_id += per
-        picks = rng.integers(0, len(base), per)
-        texts = [f"{base[p]} uniq{di}" for p, di in zip(picks, ids)]
-        # plant near-dups: dup_rate of rows copy the previous row's text
-        # with a one-token change -> guaranteed high-jaccard pairs
+        w = vocab[rng.integers(0, len(vocab), (per, words_per_doc))]
+        texts = [" ".join(row) for row in w]
         dup_mask = rng.random(per) < args.dup_rate
         for i in np.flatnonzero(dup_mask):
             if i:
-                texts[i] = texts[i - 1].replace("uniq", "uneek", 1)
+                prev = texts[i - 1].split()
+                prev[words_per_doc // 2] = f"edit{ids[i]}"
+                texts[i] = " ".join(prev)
         pq.write_table(
             pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}),
             os.path.join(work, f"in-{fidx:03d}.parquet"),

@@ -436,6 +436,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     concurrency=None,
     prefilter_limit: int = 2_000_000,
+    max_cell: int = 64,
 ):
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
@@ -446,6 +447,11 @@ def minhash_dedup_pairs(
     count is <= ``prefilter_limit`` the candidate doc-id ARRAY (8
     bytes/id) is broadcast so only candidate texts ride the join
     shuffle (set ``prefilter_limit=0`` to force the pure-join path).
+    ``max_cell`` bounds per-LSH-cell pair enumeration (all-pairs below,
+    star pattern above -- connectivity preserved, recall of individual
+    *pair listings* inside giant boilerplate clusters traded for
+    linearity; components/survivors are unaffected when the cluster is
+    genuinely mutually-similar).
     Returns a Dataset of ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
     sigs = ds.map_batches(
@@ -480,12 +486,26 @@ def minhash_dedup_pairs(
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # keep only (band, hash) cells with >=2 members, then enumerate
-        # pairs per cell (Python only over actual collision cells)
+        # pairs per cell (Python only over actual collision cells).
+        # Hot-cell cap: a boilerplate cluster of m near-identical docs
+        # collides whole in many cells, and all-pairs there is O(m^2) --
+        # the classic LSH-dedup blowup (found by the 5M-row stress run:
+        # 2.5e9 pairs from 1000-doc clusters). Cells larger than
+        # max_cell emit the STAR pattern (cell-min id -> each member,
+        # m-1 pairs) instead: component connectivity -- what dedup
+        # consumes -- is preserved, pair output stays linear in cell
+        # size. Small cells (every cell at oracle scale) still emit
+        # exact all-pairs.
         sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
         dup = df[sizes >= 2]
         out_a, out_b = [], []
         for _, g in dup.groupby(["band_id", "band_hash"]):
             ids = sorted(g[id_col].tolist())
+            if len(ids) > max_cell:
+                m = ids[0]
+                out_a.extend([m] * (len(ids) - 1))
+                out_b.extend(ids[1:])
+                continue
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
                     out_a.append(a)
@@ -859,7 +879,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id", sigs=None, hasher="fast"):
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id", sigs=None, hasher="fast", max_cell: int = 256):
     """Near-dup pairs with Hamming distance <= max_hamming.
 
     Banding is sized to the radius: ``n_bands = max_hamming + 1``, so by
@@ -870,6 +890,10 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
 
     ``sigs``: optional precomputed ``(id, simhash)`` Dataset (skips the
     signature stage; also the test seam for the banding guarantee).
+    ``max_cell`` caps per-cell all-pairs enumeration (star pattern
+    against the cell minimum above it) -- same boilerplate-cluster
+    O(m^2) guard as :func:`minhash_dedup_pairs`; full-recall all-pairs
+    semantics hold whenever every collision cell is <= max_cell.
     """
     n_bands = min(32, max_hamming + 1)
     width = 64 // n_bands
@@ -914,7 +938,12 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
             g = g.sort_values(id_col)
             ids = g[id_col].to_numpy()
             sh = g["simhash"].to_numpy()
-            ia, ib = np.triu_indices(len(ids), k=1)
+            if len(ids) > max_cell:
+                # hot cell (boilerplate cluster): star pattern, O(m)
+                ia = np.zeros(len(ids) - 1, dtype=np.int64)
+                ib = np.arange(1, len(ids), dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
             ham = hamming64(sh[ia].astype(np.uint64), sh[ib].astype(np.uint64))
             keep = ham <= max_hamming
             out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}))

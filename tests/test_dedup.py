@@ -235,3 +235,33 @@ def test_exact_dedup_auto_routes_by_cardinality(ray_session):
     filtered, path = exact_dedup_auto(ds, broadcast_limit=2, num_buckets=4)
     assert path == "shuffle"
     assert sorted(filtered.to_pandas().doc_id) == [0, 2, 3, 4, 5]
+
+
+def test_hot_cell_cap_preserves_components(ray_session):
+    # a 150-doc boilerplate cluster (all mutually near-identical) with
+    # max_cell below the cluster size: pair output must stay O(m) (star
+    # pattern), yet the cluster must remain ONE connected component so
+    # dedup keeps exactly one survivor
+    import pyarrow as pa
+
+    from engine.dedup import connected_components, minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    texts = [f"{base} unique{i}" for i in range(150)]
+    others = ["completely different text about databases and query planners engines",
+              "yet another unrelated document mentioning volcanoes and geology fieldwork"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(150 + len(others))), pa.int64()),
+        "text": pa.array(texts + others, pa.string()),
+    })
+    pairs = minhash_dedup_pairs(
+        ray.data.from_arrow(t), threshold=0.5, prefilter_limit=0, max_cell=16
+    ).materialize()
+    df = pairs.to_pandas()
+    # linear, not quadratic: capped enumeration emits far fewer than
+    # C(150,2)=11175 pairs
+    assert 149 <= len(df) < 1200, len(df)
+    comp = connected_components(df)
+    roots = {comp.get(i, i) for i in range(150)}
+    assert roots == {0}, roots  # the whole cluster collapses to one root
+    assert 150 not in comp and 151 not in comp  # unrelated docs untouched

@@ -244,3 +244,34 @@ def test_y4m_decode_real(ray_session):
     # luma of frame i is 10*i/255
     got = list(out.frame_luma_mean[0])
     assert [round(v * 255) for v in got] == [0, 30, 60]
+
+
+def test_textstats_ascii_fast_path_parity():
+    # the numpy byte-level fast path must match the regex path EXACTLY
+    # on every count (it feeds hard oracles token_stats/quality_ratios)
+    import numpy as np
+    import pandas as pd
+
+    from engine.textstats import TextStats, _ascii_fast_counts
+
+    ts = TextStats()
+    cases = ["", " ", "the", " the ", "the the", "The.", "a a a a", "  ",
+             "THE OF AND", "have\tfrom\nor", "\v\f\r", "xto tox", "w" * 5,
+             "this is a test of the stopword packer", "a-b_c", "12 34", "..."]
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefgh THEOFand.,;!?0123456789\t\n")
+    for _ in range(300):
+        cases.append("".join(rng.choice(alphabet, rng.integers(0, 60))))
+    cases += ["", ""]  # trailing empty rows: the reduceat sentinel edge
+    s = pd.Series(cases)
+    fast = _ascii_fast_counts(s)
+    assert fast is not None
+    ref = (s.str.len(), s.str.count(ts.tok), s.str.count(ts.word),
+           s.str.count(ts.alpha), s.str.count(ts.punct),
+           s.str.lower().str.count(ts.stop_rx))
+    for name, f, r in zip(
+        ["n_chars", "n_tokens", "n_words", "n_alpha", "n_punct", "n_stop"], fast, ref
+    ):
+        assert (np.asarray(f) == r.to_numpy()).all(), name
+    # non-ascii blocks must fall back (byte classes would miscount)
+    assert _ascii_fast_counts(pd.Series(["héllo"])) is None

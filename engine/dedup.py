@@ -260,6 +260,17 @@ class MinHasher:
         )
 
 
+_MINHASH_CACHE: dict = {}
+
+
+def _minhash_fn(batch: pa.Table, num_perm: int, shingle_k: int, text_col: str, id_col: str) -> pa.Table:
+    key = (num_perm, shingle_k, text_col, id_col)
+    st = _MINHASH_CACHE.get(key)
+    if st is None:
+        st = _MINHASH_CACHE[key] = MinHasher(num_perm, shingle_k, text_col, id_col)
+    return st(batch)
+
+
 def _band_rows(sig_table: pa.Table, bands: int, id_col: str) -> pa.Table:
     """Explode signatures into (band_id, band_hash, doc_id) rows."""
     sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_table.column("signature").to_pylist()])
@@ -454,18 +465,35 @@ def minhash_dedup_pairs(
     genuinely mutually-similar).
     Returns a Dataset of ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
-    sigs = ds.map_batches(
-        MinHasher,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "shingle_k": shingle_k,
-            "text_col": text_col,
-            "id_col": id_col,
-        },
-        concurrency=concurrency or 2,
-    )
+    if concurrency is None:
+        # elastic tasks with per-process cached state: the MinHasher's
+        # state (permutation params) is microseconds to build, so a
+        # fixed actor pool would only cap parallelism of the heaviest
+        # stage; pass an int/tuple to pin an actor pool instead
+        sigs = ds.map_batches(
+            _minhash_fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={
+                "num_perm": num_perm,
+                "shingle_k": shingle_k,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+        )
+    else:
+        sigs = ds.map_batches(
+            MinHasher,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_constructor_kwargs={
+                "num_perm": num_perm,
+                "shingle_k": shingle_k,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            concurrency=concurrency,
+        )
     banded = sigs.map_batches(
         _band_rows,
         batch_format="pyarrow",

@@ -40,6 +40,99 @@ _SCRIPT_RANGES = [
 
 _TOKEN = re.compile(r"[a-zà-ÿäöüßñç]+")
 
+_LANGS = list(PROFILES)
+assert all(len(w) <= 8 for ws in PROFILES.values() for w in ws)
+
+#: per-language profile words as sorted uint64 packs of their (<=8)
+#: bytes -- the vectorized token==word compare of the ASCII fast path
+_PROFILE_PACKS = {
+    lang: np.sort(
+        np.array(
+            [int.from_bytes(w.encode().ljust(8, b"\0"), "little") for w in words],
+            dtype=np.uint64,
+        )
+    )
+    for lang, words in PROFILES.items()
+}
+
+_SAMPLE_CAP = 4000
+
+
+def _ascii_langid(s: pd.Series):
+    """Vectorized (lang_pred, lang_conf) for an all-ASCII batch, exactly
+    mirroring :meth:`LangId.classify`: on ASCII text no script range can
+    match, tokens are lowercase-letter runs of the first 4000 chars, and
+    profile scoring is hit-count argmax (dict order breaks ties, first
+    strictly-greater wins -- np.argmax's first-wins matches). Returns
+    None when the batch has any non-ASCII byte (callers fall back to
+    the per-row path)."""
+    import pyarrow as pa
+
+    arr = pa.array(s, type=pa.string())
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(off_buf, dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    lo, hi = int(off[0]), int(off[-1])
+    b = np.frombuffer(data_buf, dtype=np.uint8)[lo:hi] if data_buf is not None else np.zeros(0, np.uint8)
+    if len(b) and int(b.max()) >= 0x80:
+        return None
+    off = off.astype(np.int64) - lo
+    n = len(arr)
+    if n == 0:
+        return np.array([], object), np.array([], np.float64)
+
+    bl = np.where((b >= 65) & (b <= 90), b | 32, b)
+    letter = (bl >= 97) & (bl <= 122)
+    # sample cap: positions past row_start+4000 don't participate
+    if len(b):
+        row_starts = np.repeat(off[:-1], np.diff(off))
+        letter &= np.arange(len(b)) < row_starts + _SAMPLE_CAP
+
+    prev = np.empty_like(letter)
+    if len(letter):
+        prev[0] = False
+        prev[1:] = letter[:-1]
+        idx = off[:-1]
+        prev[idx[idx < len(letter)]] = False
+    starts = letter & ~prev
+    nxt = np.empty_like(letter)
+    if len(letter):
+        nxt[-1] = False
+        nxt[:-1] = letter[1:]
+        idx = off[1:] - 1
+        nxt[idx[(idx >= 0) & (idx < len(letter))]] = False
+    ends = letter & ~nxt
+
+    si = np.flatnonzero(starts)
+    ei = np.flatnonzero(ends)
+    rows = np.searchsorted(off, si, side="right") - 1
+    ntok = np.bincount(rows, minlength=n).astype(np.int64)
+
+    hitmat = np.zeros((n, len(_LANGS)), np.int64)
+    if len(si):
+        lengths = ei - si + 1
+        short = lengths <= 8
+        si_s, len_s, rows_s = si[short], lengths[short], rows[short]
+        bp = np.concatenate([bl, np.zeros(8, np.uint8)])
+        g = bp[si_s[:, None] + np.arange(8)[None, :]]
+        g = np.where(np.arange(8)[None, :] < len_s[:, None], g, 0).astype(np.uint64)
+        packs = np.zeros(len(si_s), np.uint64)
+        for j in range(8):
+            packs |= g[:, j] << np.uint64(8 * j)
+        for li, lang in enumerate(_LANGS):
+            m = np.isin(packs, _PROFILE_PACKS[lang])
+            if m.any():
+                hitmat[:, li] = np.bincount(rows_s[m], minlength=n)
+
+    best_idx = np.argmax(hitmat, axis=1)
+    best_hits = hitmat[np.arange(n), best_idx]
+    und = (best_hits == 0) | (ntok == 0)
+    preds = np.array(_LANGS, object)[best_idx]
+    preds[und] = "und"
+    with np.errstate(divide="ignore", invalid="ignore"):
+        conf = np.where(und, 0.0, np.minimum(1.0, best_hits / np.maximum(ntok, 1) * 2))
+    return preds, np.round(conf, 6)
+
 
 class LangId:
     """map_batches callable class: one profile build per actor."""
@@ -73,10 +166,17 @@ class LangId:
         return best, min(1.0, best_hits / len(toks) * 2)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # per-row loop on purpose: the script check early-exits and the
-        # profile sets are probed on ONE tokenization; per-language
-        # regex-alternation counting measured 2x slower on real text
-        preds = [self.classify(t or "") for t in batch[self.text_col]]
+        s = batch[self.text_col].fillna("")
+        fast = _ascii_langid(s)
+        if fast is not None:
+            # all-ASCII batch: script ranges cannot match, so the whole
+            # classify collapses to vectorized token scoring
+            return batch.assign(lang_pred=fast[0], lang_conf=fast[1])
+        # per-row loop for batches with non-ASCII rows: the script check
+        # early-exits and the profile sets are probed on ONE
+        # tokenization; per-language regex-alternation counting
+        # measured 2x slower on real text
+        preds = [self.classify(t or "") for t in s]
         batch = batch.assign(
             lang_pred=[p[0] for p in preds],
             lang_conf=np.round([p[1] for p in preds], 6),

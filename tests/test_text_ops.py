@@ -275,3 +275,32 @@ def test_textstats_ascii_fast_path_parity():
         assert (np.asarray(f) == r.to_numpy()).all(), name
     # non-ascii blocks must fall back (byte classes would miscount)
     assert _ascii_fast_counts(pd.Series(["héllo"])) is None
+
+
+def test_langid_ascii_fast_path_parity():
+    # the vectorized all-ASCII path must match classify() exactly
+    # (lang_id is a hard oracle; ties break by profile dict order)
+    import numpy as np
+    import pandas as pd
+
+    from engine.langid import PROFILES, LangId, _ascii_langid
+
+    li = LangId()
+    pool = [w for ws in PROFILES.values() for w in ws] + [
+        "zzz", "quux", "x", "12", "...", "verylongtokenhere"
+    ]
+    rng = np.random.default_rng(3)
+    cases = ["", " ", "the the the", "de la que el", "der die und"]
+    for _ in range(300):
+        cases.append(" ".join(rng.choice(pool, rng.integers(0, 30))))
+    cases.append(("the " * 1500) + ("de la " * 500))  # 4000-char sample cap
+    cases.append("x" * 5000)
+    s = pd.Series(cases)
+    fast = _ascii_langid(s)
+    assert fast is not None
+    for i, t in enumerate(s):
+        rp, rc = li.classify(t or "")
+        assert fast[0][i] == rp, (i, fast[0][i], rp)
+        assert abs(fast[1][i] - round(rc, 6)) < 1e-9
+    # any non-ASCII byte in the batch -> fall back to the loop path
+    assert _ascii_langid(pd.Series(["это русский"])) is None

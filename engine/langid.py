@@ -58,33 +58,17 @@ _PROFILE_PACKS = {
 _SAMPLE_CAP = 4000
 
 
-def _ascii_langid(s: pd.Series):
-    """Vectorized (lang_pred, lang_conf) for an all-ASCII batch, exactly
-    mirroring :meth:`LangId.classify`: on ASCII text no script range can
-    match, tokens are lowercase-letter runs of the first 4000 chars, and
-    profile scoring is hit-count argmax (dict order breaks ties, first
-    strictly-greater wins -- np.argmax's first-wins matches). Returns
-    None when the batch has any non-ASCII byte (callers fall back to
-    the per-row path)."""
-    import pyarrow as pa
+def _span_langid(b: np.ndarray, off: np.ndarray):
+    """(ntok, hitmat) for one row span (off normalized to b)."""
+    from engine.textstats import _LOWER
 
-    arr = pa.array(s, type=pa.string())
-    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    off = np.frombuffer(off_buf, dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
-    lo, hi = int(off[0]), int(off[-1])
-    b = np.frombuffer(data_buf, dtype=np.uint8)[lo:hi] if data_buf is not None else np.zeros(0, np.uint8)
-    if len(b) and int(b.max()) >= 0x80:
-        return None
-    off = off.astype(np.int64) - lo
-    n = len(arr)
-    if n == 0:
-        return np.array([], object), np.array([], np.float64)
-
-    bl = np.where((b >= 65) & (b <= 90), b | 32, b)
+    n = len(off) - 1
+    bl = _LOWER[b]
     letter = (bl >= 97) & (bl <= 122)
-    # sample cap: positions past row_start+4000 don't participate
-    if len(b):
+    # sample cap: positions past row_start+4000 don't participate --
+    # built only when some row actually exceeds the cap (the index
+    # machinery is 3 span-sized int64 temporaries)
+    if len(b) and int((off[1:] - off[:-1]).max()) > _SAMPLE_CAP:
         row_starts = np.repeat(off[:-1], np.diff(off))
         letter &= np.arange(len(b)) < row_starts + _SAMPLE_CAP
 
@@ -123,6 +107,39 @@ def _ascii_langid(s: pd.Series):
             m = np.isin(packs, _PROFILE_PACKS[lang])
             if m.any():
                 hitmat[:, li] = np.bincount(rows_s[m], minlength=n)
+    return ntok, hitmat
+
+
+def _ascii_langid(s: pd.Series):
+    """Vectorized (lang_pred, lang_conf) for an all-ASCII batch, exactly
+    mirroring :meth:`LangId.classify`: on ASCII text no script range can
+    match, tokens are lowercase-letter runs of the first 4000 chars, and
+    profile scoring is hit-count argmax (dict order breaks ties, first
+    strictly-greater wins -- np.argmax's first-wins matches). Returns
+    None when the batch has any non-ASCII byte (callers fall back to
+    the per-row path). Cache-blocked like engine.textstats, and OPT-IN
+    via ``GRAFT_FAST_KERNELS=1`` for the same reason (see
+    engine.textstats._ascii_fast_counts: bandwidth-bound vs the stable
+    compute-bound loop path)."""
+    import os
+
+    if os.environ.get("GRAFT_FAST_KERNELS") != "1":
+        return None
+    from engine.textstats import iter_spans, string_buffer
+
+    buf = string_buffer(s)
+    if buf is None:
+        return None
+    b, off = buf
+    n = len(off) - 1
+    if n == 0:
+        return np.array([], object), np.array([], np.float64)
+    parts = [
+        _span_langid(b[off[r0] : off[r1]], off[r0 : r1 + 1] - off[r0])
+        for r0, r1 in iter_spans(off)
+    ]
+    ntok = np.concatenate([p[0] for p in parts])
+    hitmat = np.concatenate([p[1] for p in parts])
 
     best_idx = np.argmax(hitmat, axis=1)
     best_hits = hitmat[np.arange(n), best_idx]

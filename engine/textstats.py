@@ -48,16 +48,29 @@ _STOP_PACKS = np.sort(
 )
 
 
-def _ascii_fast_counts(s: pd.Series):
-    """All six counts in O(bytes) numpy over the utf-8 buffer -- no
-    regex. Returns None when the block contains any non-ASCII byte
-    (callers fall back to the regex path; byte-level char classes and
-    Python's unicode ``\\s``/token semantics only coincide on ASCII).
+#: byte -> class bits: 1 alpha, 2 digit, 4 ascii-ws, 8 upper
+_CLS = np.zeros(256, np.uint8)
+_CLS[65:91] |= 1 | 8
+_CLS[97:123] |= 1
+_CLS[48:58] |= 2
+for _c in (32, 9, 10, 11, 12, 13):
+    _CLS[_c] |= 4
 
-    Definitions mirror the regex path EXACTLY (fuzz-tested): token =
-    ``\\S+`` run, word = letter-run | digit-run | single other-non-ws
-    char, stopword = whole token equal to one of the 25 words after
-    ASCII lowercasing."""
+#: lowercase map (A-Z -> a-z, everything else identity)
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] |= 32
+
+#: chunk size for cache blocking: per-span temporaries (~6 live arrays
+#: of span bytes) stay L2-resident, so 32 concurrent workers contend on
+#: cores, not memory bandwidth -- without this the byte path saturates
+#: DRAM at high parallelism and stops scaling (measured: equal to the
+#: regex path at 32 CPUs, 2x faster at 8)
+_SPAN = 128 * 1024
+
+
+def string_buffer(s: pd.Series):
+    """(bytes, normalized int64 offsets) of a pandas string Series, or
+    None when any byte is non-ASCII."""
     import pyarrow.compute as pc
 
     arr = pa.array(s, type=pa.string())
@@ -70,34 +83,46 @@ def _ascii_fast_counts(s: pd.Series):
     b = np.frombuffer(data_buf, dtype=np.uint8)[lo:hi] if data_buf is not None else np.zeros(0, np.uint8)
     if len(b) and int(b.max()) >= 0x80:
         return None
-    off = (off.astype(np.int64) - lo)
-    n = len(arr)
+    return b, off.astype(np.int64) - lo
 
-    upper = (b >= 65) & (b <= 90)
-    loweralpha = (b >= 97) & (b <= 122)
-    alpha = upper | loweralpha
-    digit = (b >= 48) & (b <= 57)
-    ws = (b == 32) | ((b >= 9) & (b <= 13))
-    punct = ~(alpha | digit | ws)
+
+def iter_spans(off: np.ndarray, limit: int = _SPAN):
+    """Row-aligned chunks of <= ``limit`` bytes (one oversized row still
+    forms its own chunk). Yields (row_start, row_end) index pairs."""
+    n = len(off) - 1
+    r0 = 0
+    while r0 < n:
+        r1 = int(np.searchsorted(off, off[r0] + limit, side="left"))
+        r1 = max(r1, r0 + 1)
+        yield r0, min(r1, n)
+        r0 = min(r1, n)
+
+
+def _per_row(mask: np.ndarray, off: np.ndarray, n: int) -> np.ndarray:
+    """Per-row sums of a boolean mask via np.add.reduceat (this numpy's
+    cumsum is ~100x slower on bool/int inputs -- measured). Quirks
+    handled: empty segments return mask[idx] -> zeroed; a sentinel
+    element keeps trailing-empty-row offsets (== len) valid WITHOUT
+    clipping (clipping truncates the previous segment)."""
+    if n == 0 or len(mask) == 0:
+        return np.zeros(n, np.int64)
+    m = np.empty(len(mask) + 1, np.int16)
+    m[:-1] = mask
+    m[-1] = 0
+    r = np.add.reduceat(m, off[:-1], dtype=np.int64)
+    r[off[:-1] == off[1:]] = 0
+    return r
+
+
+def _span_counts(b: np.ndarray, off: np.ndarray):
+    """The six counts for one row span (off normalized to b)."""
+    n = len(off) - 1
+    cls = _CLS[b]
+    alpha = (cls & 1) != 0
+    digit = (cls & 2) != 0
+    ws = (cls & 4) != 0
+    punct = cls == 0
     nonws = ~ws
-
-    def per_row(mask):
-        # np.add.reduceat, NOT cumsum: this numpy's cumsum runs ~100x
-        # slower than reduceat on bool/int inputs (measured); int64 cast
-        # avoids int8 overflow on long rows. reduceat quirks handled:
-        # empty segments return mask[idx] -> zeroed; trailing empty rows
-        # index past the end -> clipped then zeroed.
-        if n == 0 or len(mask) == 0:
-            return np.zeros(n, np.int64)
-        # sentinel element so trailing-empty-row offsets (== len) stay
-        # valid WITHOUT clipping (clipping would truncate the previous
-        # segment by one element)
-        m = np.empty(len(mask) + 1, np.int64)
-        m[:-1] = mask
-        m[-1] = 0
-        r = np.add.reduceat(m, off[:-1])
-        r[off[:-1] == off[1:]] = 0
-        return r
 
     def run_starts(mask):
         prev = np.empty_like(mask)
@@ -109,11 +134,11 @@ def _ascii_fast_counts(s: pd.Series):
         return mask & ~prev
 
     tok_starts = run_starts(nonws)
-    n_chars = (off[1:] - off[:-1]).astype(np.int64)
-    n_alpha = per_row(alpha)
-    n_punct = per_row(punct)
-    n_tokens = per_row(tok_starts)
-    n_words = per_row(run_starts(alpha)) + per_row(run_starts(digit)) + n_punct
+    n_chars = off[1:] - off[:-1]
+    n_alpha = _per_row(alpha, off, n)
+    n_punct = _per_row(punct, off, n)
+    n_tokens = _per_row(tok_starts, off, n)
+    n_words = _per_row(run_starts(alpha), off, n) + _per_row(run_starts(digit), off, n) + n_punct
 
     # stopword count: token length from starts/ends, short tokens packed
     # into uint32 and compared against the precomputed stopword packs
@@ -128,10 +153,9 @@ def _ascii_fast_counts(s: pd.Series):
         lengths = ei - si + 1
         short = lengths <= 4
         si_s, len_s = si[short], lengths[short]
-        bp = np.concatenate([b, np.zeros(4, np.uint8)])
+        bp = np.concatenate([_LOWER[b], np.zeros(4, np.uint8)])
         g = bp[si_s[:, None] + np.arange(4)[None, :]]
-        g = np.where(np.arange(4)[None, :] < len_s[:, None], g, 0)
-        g = np.where((g >= 65) & (g <= 90), g | 32, g).astype(np.uint32)
+        g = np.where(np.arange(4)[None, :] < len_s[:, None], g, 0).astype(np.uint32)
         packs = g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16) | (g[:, 3] << 24)
         is_stop = np.isin(packs, _STOP_PACKS)
         rows = np.searchsorted(off, si_s[is_stop], side="right") - 1
@@ -139,6 +163,44 @@ def _ascii_fast_counts(s: pd.Series):
     else:
         n_stop = np.zeros(n, np.int64)
     return n_chars, n_tokens, n_words, n_alpha, n_punct, n_stop
+
+
+def _ascii_fast_counts(s: pd.Series):
+    """All six counts in O(bytes) numpy over the utf-8 buffer -- no
+    regex. Returns None when the block contains any non-ASCII byte
+    (callers fall back to the regex path; byte-level char classes and
+    Python's unicode ``\\s``/token semantics only coincide on ASCII).
+
+    Definitions mirror the regex path EXACTLY (fuzz-tested): token =
+    ``\\S+`` run, word = letter-run | digit-run | single other-non-ws
+    char, stopword = whole token equal to one of the 25 words after
+    ASCII lowercasing. Work is cache-blocked into ``_SPAN``-byte row
+    chunks (see the constant's comment).
+
+    OPT-IN via ``GRAFT_FAST_KERNELS=1``: the byte path is ~2x faster
+    per core but memory-bandwidth-bound; the regex path is
+    compute-bound. Measured on this host at 32 concurrent workers the
+    byte path's wall time is equal-at-best and wildly variant
+    (bandwidth contention windows: 14.5s / 32.6s / 137.7s across
+    interleaved trials vs the regex path's stable 11-18s), so the
+    stable path is the default; enable the byte path on nodes whose
+    core:bandwidth ratio favors it."""
+    import os
+
+    if os.environ.get("GRAFT_FAST_KERNELS") != "1":
+        return None
+    buf = string_buffer(s)
+    if buf is None:
+        return None
+    b, off = buf
+    n = len(off) - 1
+    if len(b) <= _SPAN:
+        return _span_counts(b, off)
+    parts = [
+        _span_counts(b[off[r0] : off[r1]], off[r0 : r1 + 1] - off[r0])
+        for r0, r1 in iter_spans(off)
+    ]
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(6))
 
 
 class TextStats:

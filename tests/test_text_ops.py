@@ -246,7 +246,7 @@ def test_y4m_decode_real(ray_session):
     assert [round(v * 255) for v in got] == [0, 30, 60]
 
 
-def test_textstats_ascii_fast_path_parity():
+def test_textstats_ascii_fast_path_parity(monkeypatch):
     # the numpy byte-level fast path must match the regex path EXACTLY
     # on every count (it feeds hard oracles token_stats/quality_ratios)
     import numpy as np
@@ -254,6 +254,7 @@ def test_textstats_ascii_fast_path_parity():
 
     from engine.textstats import TextStats, _ascii_fast_counts
 
+    monkeypatch.setenv("GRAFT_FAST_KERNELS", "1")
     ts = TextStats()
     cases = ["", " ", "the", " the ", "the the", "The.", "a a a a", "  ",
              "THE OF AND", "have\tfrom\nor", "\v\f\r", "xto tox", "w" * 5,
@@ -262,6 +263,8 @@ def test_textstats_ascii_fast_path_parity():
     alphabet = list("abcdefgh THEOFand.,;!?0123456789\t\n")
     for _ in range(300):
         cases.append("".join(rng.choice(alphabet, rng.integers(0, 60))))
+    cases.append("the " * 50000)  # oversized single-row span, sums > int16
+    cases.append("a" * 140000)  # oversized all-alpha row
     cases += ["", ""]  # trailing empty rows: the reduceat sentinel edge
     s = pd.Series(cases)
     fast = _ascii_fast_counts(s)
@@ -277,7 +280,7 @@ def test_textstats_ascii_fast_path_parity():
     assert _ascii_fast_counts(pd.Series(["héllo"])) is None
 
 
-def test_langid_ascii_fast_path_parity():
+def test_langid_ascii_fast_path_parity(monkeypatch):
     # the vectorized all-ASCII path must match classify() exactly
     # (lang_id is a hard oracle; ties break by profile dict order)
     import numpy as np
@@ -285,6 +288,7 @@ def test_langid_ascii_fast_path_parity():
 
     from engine.langid import PROFILES, LangId, _ascii_langid
 
+    monkeypatch.setenv("GRAFT_FAST_KERNELS", "1")
     li = LangId()
     pool = [w for ws in PROFILES.values() for w in ws] + [
         "zzz", "quux", "x", "12", "...", "verylongtokenhere"

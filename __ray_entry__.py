@@ -442,7 +442,9 @@ def _q_minhash_pairs(sf_dir: str):
     from engine.dedup import minhash_dedup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=128, bands=64)
+    # max_cell=None: the hard oracle asserts the exact all-pairs set, so
+    # the hot-cell star-pattern cap must be off for this query
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=128, bands=64, max_cell=None)
 
     def pct(df):
         df = df.assign(jaccard_pct=np.floor(100.0 * df["jaccard"]).astype("int64"))

@@ -83,18 +83,21 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("__chash", pa.array(h, type=pa.uint64()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hashed=None):
     """Keep the min-id row per distinct content hash: hash-partition
     (groupby shuffle of the small projected columns) + per-group first.
 
     Shuffles only ``(hash, id)`` -- survivors are selected by a
     broadcast-able id set; callers filter the full dataset with it.
+    ``hashed``: optional pre-built ``content_hash_batch`` output (lets
+    :func:`exact_dedup_auto` hash the corpus once, not twice).
     Returns ``(survivor_id_dataset, filtered_dataset)``.
     """
-    hashed = ds.map_batches(
-        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"text_col": text_col},
-    )
+    if hashed is None:
+        hashed = ds.map_batches(
+            content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"text_col": text_col},
+        )
     winners = (
         hashed.select_columns(["__chash", id_col])
         .groupby("__chash")
@@ -111,15 +114,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return winners, ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def exact_dedup_shuffle(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+def exact_dedup_shuffle(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64, hashed=None):
     """Scale-path exact dedup: hash-partition FULL rows by content hash
     and keep the min-id row per hash inside a vectorized bucket fold --
     no driver-side winner set (use when the corpus id set itself is too
     large to broadcast; costs one full-row shuffle, like MERGE)."""
-    hashed = ds.map_batches(
-        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"text_col": text_col},
-    )
+    if hashed is None:
+        hashed = ds.map_batches(
+            content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"text_col": text_col},
+        )
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = t.column("__chash").to_numpy(zero_copy_only=False)
@@ -175,15 +179,27 @@ def exact_dedup_auto(
     hash-partitioned shuffle fold runs with zero driver state. Returns
     ``(filtered_dataset, path)`` with path in {"broadcast", "shuffle"}.
     """
-    hashed = ds.map_batches(
-        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"text_col": text_col},
+    # hash once into a TINY pinned (hash, id) projection (~16 B/row):
+    # the HLL pass and the broadcast path both read it, so the corpus
+    # is not re-hashed for the common small-cardinality case. Only the
+    # large-corpus shuffle branch re-hashes -- there a full-row
+    # materialization would cost more than the extra hash pass.
+    proj = (
+        ds.map_batches(
+            content_hash_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"text_col": text_col},
+        )
+        .select_columns(["__chash", id_col])
+        .materialize()
     )
-    est = _approx_distinct_hashes(hashed)
+    est = _approx_distinct_hashes(proj)
     if est <= broadcast_limit:
-        _, filtered = exact_dedup(ds, text_col=text_col, id_col=id_col)
+        _, filtered = exact_dedup(ds, text_col=text_col, id_col=id_col, hashed=proj)
         return filtered, "broadcast"
-    return exact_dedup_shuffle(ds, text_col=text_col, id_col=id_col, num_buckets=num_buckets), "shuffle"
+    return (
+        exact_dedup_shuffle(ds, text_col=text_col, id_col=id_col, num_buckets=num_buckets),
+        "shuffle",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +545,7 @@ def minhash_dedup_pairs(
         out_a, out_b = [], []
         for _, g in dup.groupby(["band_id", "band_hash"]):
             ids = sorted(g[id_col].tolist())
-            if len(ids) > max_cell:
+            if max_cell is not None and len(ids) > max_cell:
                 m = ids[0]
                 out_a.extend([m] * (len(ids) - 1))
                 out_b.extend(ids[1:])
@@ -907,7 +923,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id", sigs=None, hasher="fast", max_cell: int = 256):
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id", sigs=None, hasher="fast", max_cell=None):
     """Near-dup pairs with Hamming distance <= max_hamming.
 
     Banding is sized to the radius: ``n_bands = max_hamming + 1``, so by
@@ -918,10 +934,13 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
 
     ``sigs``: optional precomputed ``(id, simhash)`` Dataset (skips the
     signature stage; also the test seam for the banding guarantee).
-    ``max_cell`` caps per-cell all-pairs enumeration (star pattern
-    against the cell minimum above it) -- same boilerplate-cluster
-    O(m^2) guard as :func:`minhash_dedup_pairs`; full-recall all-pairs
-    semantics hold whenever every collision cell is <= max_cell.
+    ``max_cell`` (default None = uncapped, because full recall is this
+    operator's contract and large radii make band keys narrow -- at
+    max_hamming=8 the key is 7 bits, so ordinary corpora produce
+    rightly-large collision cells) optionally caps per-cell all-pairs
+    enumeration with the star pattern -- the boilerplate-cluster O(m^2)
+    guard of :func:`minhash_dedup_pairs`. Set it for dedup pipelines
+    that only consume connectivity, never for pair inventories.
     """
     n_bands = min(32, max_hamming + 1)
     width = 64 // n_bands
@@ -966,7 +985,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
             g = g.sort_values(id_col)
             ids = g[id_col].to_numpy()
             sh = g["simhash"].to_numpy()
-            if len(ids) > max_cell:
+            if max_cell is not None and len(ids) > max_cell:
                 # hot cell (boilerplate cluster): star pattern, O(m)
                 ia = np.zeros(len(ids) - 1, dtype=np.int64)
                 ib = np.arange(1, len(ids), dtype=np.int64)

@@ -92,10 +92,7 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     return out.reset_index()[df.columns.tolist()]
 
 
-def _mix64(h: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        return h ^ (h >> np.uint64(33))
+from engine.dedup import _mix64  # single 64-bit finalizer definition repo-wide
 
 
 def _bloom_set(h: np.ndarray, num_bits: int, k: int = 4) -> np.ndarray:
@@ -190,26 +187,37 @@ def merge_datasets_wide(
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
         merged = merge_fold(df.drop(columns=has_cols), key, ts)
-        s = df.sort_values(ts, kind="stable")
+        # null ts sorts FIRST (oldest writer) -- same LWW rule as
+        # merge_fold; winner timestamps leave the fold as canonical
+        # int64 (NaT -> INT64_MIN) so they survive hashing and joins
+        s = df.sort_values(ts, kind="stable", na_position="first")
         anchor_ts = s.groupby(key, sort=False)[ts].first()  # loop-invariant
         for w in wide_cols:
             wts = s[s[f"__has_{w}"]].groupby(key, sort=False)[ts].last()
             winner = anchor_ts.copy()
             winner.update(wts)
-            merged[f"__wts_{w}"] = merged[key].map(winner)
+            merged[f"__wts_{w}"] = pd.to_datetime(merged[key].map(winner)).values.view("int64")
         return merged
 
     # materialize: merged_light is consumed twice (winner collection +
     # attach); without pinning, the whole phase-A shuffle re-executes
     merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas").materialize()
 
-    # winner set per wide column, as sorted uint64 hashes of (key, ts)
-    # pairs -> broadcast; membership checks are then one vectorized
-    # np.isin per batch instead of a Python loop.
-    def _pair_hash(keys: pd.Series, tss) -> np.ndarray:
+    # winner set per wide column, as sorted uint64 hashes of
+    # (key, ts_int64) pairs -> broadcast; membership checks are then one
+    # vectorized np.isin per batch instead of a Python loop. ts must
+    # already be canonical int64 (NaT == INT64_MIN) on BOTH sides.
+    def _pair_hash(keys: pd.Series, ts_i64) -> np.ndarray:
         hk = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
-        ht = pd.util.hash_array(pd.Series(tss).astype("int64").to_numpy())
+        ht = pd.util.hash_array(np.asarray(ts_i64, dtype=np.int64))
         return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
+
+    _TS_MIN = np.iinfo(np.int64).min
+
+    def _ts_i64_col(t: pa.Table) -> np.ndarray:
+        return pc.fill_null(pc.cast(t.column(ts), pa.int64()), _TS_MIN).to_numpy(
+            zero_copy_only=False
+        )
 
     n_keys = merged_light.count()
     use_bloom = winner_filter == "bloom" or (winner_filter == "auto" and n_keys > exact_limit)
@@ -248,7 +256,7 @@ def merge_datasets_wide(
         t = t.filter(pc.invert(_is_missing_key(t.column(key))))
         wmap = ray.get(winners_ref)
         keys = t.column(key).to_pandas()
-        h = _pair_hash(keys, t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        h = _pair_hash(keys, _ts_i64_col(t))
         out = None
         for w in wide_cols:
             if use_bloom:
@@ -258,10 +266,18 @@ def merge_datasets_wide(
             sub = t.filter(mask).select([key, ts, w])
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
         # two source rows can share (key, ts); keep ONE payload per pair
-        # or the attach join would emit duplicate merged rows
+        # or the attach join would emit duplicate merged rows. Prefer a
+        # NON-EMPTY payload on ties (the has-marker that elected this ts
+        # was set by a non-empty writer); keeping empty-ish rows at all
+        # covers the all-writers-empty key, whose merged value is the
+        # anchor's literal (possibly empty/null) payload.
         if len(out):
             df = out.to_pandas()
+            for w in wide_cols:
+                df[f"__e_{w}"] = ~(df[w].map(lambda v: v is not None and len(v) > 0))
+            df = df.sort_values([f"__e_{w}" for w in wide_cols], kind="stable")
             df = df.drop_duplicates(subset=[key, ts], keep="first")
+            df = df.drop(columns=[f"__e_{w}" for w in wide_cols])
             out = pa.Table.from_pandas(df, preserve_index=False).cast(out.schema)
         return out
 
@@ -275,7 +291,7 @@ def merge_datasets_wide(
     type_of = dict(zip(in_schema.names, in_schema.types))
     union_schema = pa.schema(
         [(n, type_of[n]) for n in schema_names]
-        + [(c, pa.timestamp("us")) for c in wts_cols]
+        + [(c, pa.int64()) for c in wts_cols]  # canonical int64 winner ts
         + [("__side", pa.int8())]
     )
 
@@ -306,12 +322,21 @@ def merge_datasets_wide(
         light_rows = t.filter(pc.equal(side, 0)).drop_columns(["__side"] + list(wide_cols))
         pay_rows = t.filter(pc.equal(side, 1))
         for w in wide_cols:
-            m = pay_rows.filter(pc.is_valid(pay_rows.column(w))).select([key, ts, w])
+            pay = pay_rows
+            tsi = pc.fill_null(pc.cast(pay.column(ts), pa.int64()), _TS_MIN)
+            m = pa.table(
+                {key: pay.column(key), f"__wts_{w}": tsi, w: pay.column(w)}
+            )
             # authoritative (key, ts)-tie dedup: the per-batch dedup in
-            # winning_payloads cannot see across batches
-            mdf = m.to_pandas().drop_duplicates(subset=[key, ts], keep="first")
+            # winning_payloads cannot see across batches. Same non-empty
+            # preference (a null/empty payload must not shadow the
+            # non-empty writer that elected this winning ts).
+            mdf = m.to_pandas()
+            mdf["__e"] = ~(mdf[w].map(lambda v: v is not None and len(v) > 0))
+            mdf = mdf.sort_values("__e", kind="stable").drop_duplicates(
+                subset=[key, f"__wts_{w}"], keep="first"
+            ).drop(columns="__e")
             m = pa.Table.from_pandas(mdf, preserve_index=False).cast(m.schema)
-            m = m.rename_columns([key, f"__wts_{w}", w])
             light_rows = light_rows.join(
                 m, keys=[key, f"__wts_{w}"], join_type="left outer"
             )

@@ -277,3 +277,55 @@ def test_wide_merge_bloom_filter_matches_exact(ray_session):
     pd.testing.assert_frame_equal(exact, bloom)
     # sanity: merged keys + null passthrough rows all present
     assert exact["url"].notna().sum() == 60
+
+
+def test_wide_merge_null_ts_matches_single_pass(ray_session):
+    # review finding: the wide path crashed on NULL warc_ts (NaN int
+    # cast in the winner pair-hash) and sorted NaT LAST, inverting the
+    # 'null-ts = oldest writer' invariant. It must match merge_datasets
+    # exactly, including ts-tie + empty-payload preference.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets, merge_datasets_wide
+
+    ts = [None, 5, None, None, 3, 7, 7, None]
+    urls = ["u1", "u1", "u2", "u2", "u3", "u3", "u3", None]
+    html = [b"NULL-TS", b"TS5", b"A", b"", b"T3", b"", b"T7", b"PASS"]
+    text = ["a", "", "x", "y", "p", "q", "", "z"]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [None if v is None else np.datetime64(v, "us") for v in ts],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(html, pa.binary()),
+            "text": pa.array(text, pa.string()),
+        }
+    )
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["url", "warc_ts", "text"], na_position="first").reset_index(
+            drop=True
+        )
+
+    single = norm(merge_datasets(ray.data.from_arrow(t).repartition(3), num_buckets=4))
+    for mode in ("exact", "bloom"):
+        wide = norm(
+            merge_datasets_wide(
+                lambda: ray.data.from_arrow(t).repartition(3),
+                ["html"],
+                num_buckets=4,
+                winner_filter=mode,
+            )
+        )
+        pd.testing.assert_frame_equal(single, wide, check_dtype=False)
+    # u1: ts=5 writer wins the payload over the null-ts writer
+    u1 = single[single.url == "u1"]
+    assert u1.html.tolist() == [b"TS5"]
+    # u3: the ts=7 tie must attach the NON-EMPTY payload
+    u3 = single[single.url == "u3"]
+    assert u3.html.tolist() == [b"T7"]

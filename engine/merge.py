@@ -264,21 +264,24 @@ def merge_datasets_wide(
             else:
                 mask = pa.array(np.isin(h, wmap[w]))
             sub = t.filter(mask).select([key, ts, w])
+            # per-COLUMN (key, ts)-tie dedup BEFORE joining columns
+            # together: prefer a NON-EMPTY payload on ties (the
+            # has-marker that elected this ts was set by a non-empty
+            # writer); keeping empty-ish rows at all covers the
+            # all-writers-empty key, whose merged value is the anchor's
+            # literal (possibly empty/null) payload. Must be per column
+            # -- a joint dedup could drop the only row carrying another
+            # column's non-empty payload.
+            if len(sub):
+                df = sub.to_pandas()
+                df["__e"] = ~(df[w].map(lambda v: v is not None and len(v) > 0))
+                df = (
+                    df.sort_values("__e", kind="stable")
+                    .drop_duplicates(subset=[key, ts], keep="first")
+                    .drop(columns="__e")
+                )
+                sub = pa.Table.from_pandas(df, preserve_index=False).cast(sub.schema)
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
-        # two source rows can share (key, ts); keep ONE payload per pair
-        # or the attach join would emit duplicate merged rows. Prefer a
-        # NON-EMPTY payload on ties (the has-marker that elected this ts
-        # was set by a non-empty writer); keeping empty-ish rows at all
-        # covers the all-writers-empty key, whose merged value is the
-        # anchor's literal (possibly empty/null) payload.
-        if len(out):
-            df = out.to_pandas()
-            for w in wide_cols:
-                df[f"__e_{w}"] = ~(df[w].map(lambda v: v is not None and len(v) > 0))
-            df = df.sort_values([f"__e_{w}" for w in wide_cols], kind="stable")
-            df = df.drop_duplicates(subset=[key, ts], keep="first")
-            df = df.drop(columns=[f"__e_{w}" for w in wide_cols])
-            out = pa.Table.from_pandas(df, preserve_index=False).cast(out.schema)
         return out
 
     payloads = ds_factory().map_batches(

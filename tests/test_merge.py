@@ -329,3 +329,38 @@ def test_wide_merge_null_ts_matches_single_pass(ray_session):
     # u3: the ts=7 tie must attach the NON-EMPTY payload
     u3 = single[single.url == "u3"]
     assert u3.html.tolist() == [b"T7"]
+
+
+def test_wide_merge_two_wide_cols_split_payload_ties(ray_session):
+    # at a (key, ts) tie the non-empty payloads for the two wide columns
+    # live in DIFFERENT source rows: per-column dedup must keep both
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets, merge_datasets_wide
+
+    t = pa.table(
+        {
+            "url": pa.array(["u", "u", "v"], pa.string()),
+            "warc_ts": pa.array(
+                [np.datetime64(9, "us")] * 2 + [np.datetime64(1, "us")], pa.timestamp("us")
+            ),
+            "html": pa.array([b"HTML", b"", b"VH"], pa.binary()),
+            "img": pa.array([b"", b"IMG", b"VI"], pa.binary()),
+            "text": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+    single = norm(merge_datasets(ray.data.from_arrow(t).repartition(2), num_buckets=2))
+    wide = norm(
+        merge_datasets_wide(
+            lambda: ray.data.from_arrow(t).repartition(2), ["html", "img"], num_buckets=2
+        )
+    )
+    pd.testing.assert_frame_equal(single, wide, check_dtype=False)
+    u = wide[wide.url == "u"].iloc[0]
+    assert u.html == b"HTML" and u.img == b"IMG"

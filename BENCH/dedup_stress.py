@@ -88,8 +88,13 @@ def main() -> None:
 
     ds = ray.data.read_parquet(work)
     t0 = time.perf_counter()
-    # prefilter_limit=0 -> the pure hash-partitioned-join verify path
-    pairs = minhash_dedup_pairs(ds, threshold=0.6, prefilter_limit=0).materialize()
+    # prefilter_limit=0 -> the pure hash-partitioned-join verify path.
+    # max_cell=64: this pipeline consumes CONNECTIVITY only (components
+    # + survivors), so the hot-cell star cap is the right trade -- the
+    # boilerplate clusters planted below are O(m^2) pairs uncapped.
+    pairs = minhash_dedup_pairs(
+        ds, threshold=0.6, prefilter_limit=0, max_cell=64
+    ).materialize()
     t_pairs = time.perf_counter() - t0
     n_pairs = pairs.count()
 

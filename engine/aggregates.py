@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -41,9 +42,11 @@ def pattern_score_distributed(ds, width_col: str) -> float:
         return 0.0
     # zero-width rows raise ZeroDivisionError like infer.pattern_score
     # (reference parity: a blank row disqualifies the candidate)
-    score = sum(
-        row["sum(n)"] * (max(ALPHA, row["width"] - 1) / row["width"])
-        for _, row in hist.iterrows()
+    widths = hist["width"].to_numpy()
+    if (widths == 0).any():
+        raise ZeroDivisionError("division by zero")
+    score = float(
+        (hist["sum(n)"].to_numpy() * np.maximum(ALPHA, widths - 1) / widths).sum()
     )
     return score / len(hist)
 

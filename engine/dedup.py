@@ -103,12 +103,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hashed=None)
         .groupby("__chash")
         .min(id_col)
     )  # columns: __chash, min(id_col)
-    keep_ids = set(r[f"min({id_col})"] for r in winners.take_all())
+    # ONE sorted numpy array in the object store; per-batch work is a
+    # single np.isin probe against the shared (zero-copy) array -- the
+    # set->array conversion must not happen once per batch
+    keep_ids = np.sort(np.asarray([r[f"min({id_col})"] for r in winners.iter_rows()]))
     keep_ref = ray.put(keep_ids)
 
     def keep_only(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.fromiter(ray.get(keep_ref), dtype=ids.dtype)
+        keep = ray.get(keep_ref)
         return t.filter(pa.array(np.isin(ids, keep)))
 
     return winners, ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
@@ -463,7 +466,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     concurrency=None,
     prefilter_limit: int = 2_000_000,
-    max_cell: int = 64,
+    max_cell: int | None = None,
 ):
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
@@ -474,11 +477,18 @@ def minhash_dedup_pairs(
     count is <= ``prefilter_limit`` the candidate doc-id ARRAY (8
     bytes/id) is broadcast so only candidate texts ride the join
     shuffle (set ``prefilter_limit=0`` to force the pure-join path).
-    ``max_cell`` bounds per-LSH-cell pair enumeration (all-pairs below,
-    star pattern above -- connectivity preserved, recall of individual
-    *pair listings* inside giant boilerplate clusters traded for
-    linearity; components/survivors are unaffected when the cluster is
-    genuinely mutually-similar).
+
+    ``max_cell`` (default None = uncapped: full pair recall is the
+    default contract, and it is what the hard oracle asserts) optionally
+    bounds per-LSH-cell pair enumeration -- all-pairs below the cap,
+    star pattern (cell-min hub -> members) above. The cap is for
+    CONNECTIVITY-ONLY dedup pipelines (components/survivors): star
+    edges still pass true-Jaccard verification, so a hub that is below
+    threshold against a member severs that member even when it is a
+    genuine near-dup of other cell members -- per-pair recall inside
+    giant boilerplate clusters is traded for linear output. Opt in
+    explicitly (the 5M stress pipeline does); never set it for pair
+    inventories.
     Returns a Dataset of ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
     if concurrency is None:
@@ -819,11 +829,16 @@ def drop_near_duplicates_shuffle(ds, pairs, id_col: str = "doc_id", num_buckets:
     def tag_corpus(t: pa.Table) -> pa.Table:
         return t.append_column(marker, pa.array(np.zeros(len(t), dtype=np.int8)))
 
-    corpus_cols = [n for n in ds.schema().names]
+    # capture plain (names, types) driver-side: closing over ``ds``
+    # would cloudpickle the entire upstream Dataset plan into every
+    # map task (ADVICE r2)
+    schema = ds.schema()
+    corpus_cols = list(schema.names)
+    schema_items = list(zip(schema.names, schema.types))
 
     def tag_losers(t: pa.Table) -> pa.Table:
         cols = {}
-        for n, typ in zip(ds.schema().names, ds.schema().types):
+        for n, typ in schema_items:
             if n == id_col:
                 cols[n] = t.column("doc_id").cast(typ)
             else:

@@ -164,8 +164,19 @@ def merge_datasets_wide(
     has_cols = [f"__has_{w}" for w in wide_cols]
     wts_cols = [f"__wts_{w}" for w in wide_cols]
     light = ds_factory()
-    schema_names = light.schema().names
+    in_schema0 = light.schema()
+    schema_names = in_schema0.names
     light_cols = [c for c in schema_names if c not in wide_cols]
+
+    # ONE canonical int64 unit for winner timestamps BY CONSTRUCTION
+    # (ADVICE r2): the pandas fold and the Arrow casts must agree or
+    # every pair-hash / join key mismatches and all wide columns come
+    # back silently null. Timestamps are pinned to MICROSECONDS on both
+    # sides (explicit unit -- never "whatever pandas/pyarrow preserved");
+    # integer ts columns pass through as raw int64.
+    ts_type = dict(zip(in_schema0.names, in_schema0.types))[ts]
+    ts_is_timestamp = pa.types.is_timestamp(ts_type)
+    ts_us = pa.timestamp("us", tz=ts_type.tz) if ts_is_timestamp else None
 
     def mark(t: pa.Table) -> pa.Table:
         keep = pc.invert(_is_missing_key(t.column(key)))
@@ -196,7 +207,21 @@ def merge_datasets_wide(
             wts = s[s[f"__has_{w}"]].groupby(key, sort=False)[ts].last()
             winner = anchor_ts.copy()
             winner.update(wts)
-            merged[f"__wts_{w}"] = pd.to_datetime(merged[key].map(winner)).values.view("int64")
+            mapped = merged[key].map(winner)
+            if ts_is_timestamp:
+                # explicit [us]: an object-dtype map fallback or a
+                # ns-unit source would otherwise leave ns here while
+                # the Arrow side casts in the schema's unit
+                dt = pd.to_datetime(mapped)
+                if getattr(dt.dt, "tz", None) is not None:
+                    dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+                merged[f"__wts_{w}"] = (
+                    dt.astype("datetime64[us]").to_numpy().view("int64")
+                )
+            else:
+                merged[f"__wts_{w}"] = (
+                    pd.to_numeric(mapped).fillna(np.iinfo(np.int64).min).astype(np.int64)
+                )
         return merged
 
     # materialize: merged_light is consumed twice (winner collection +
@@ -214,10 +239,16 @@ def merge_datasets_wide(
 
     _TS_MIN = np.iinfo(np.int64).min
 
+    def _ts_i64_arrow(arr):
+        """Arrow ts column -> canonical int64 (us for timestamps)."""
+        if ts_is_timestamp:
+            # safe=False: ns -> us truncates like the fold side's numpy
+            # astype (consistent on both sides is what matters)
+            arr = pc.cast(arr, ts_us, safe=False)
+        return pc.fill_null(pc.cast(arr, pa.int64()), _TS_MIN)
+
     def _ts_i64_col(t: pa.Table) -> np.ndarray:
-        return pc.fill_null(pc.cast(t.column(ts), pa.int64()), _TS_MIN).to_numpy(
-            zero_copy_only=False
-        )
+        return _ts_i64_arrow(t.column(ts)).to_numpy(zero_copy_only=False)
 
     n_keys = merged_light.count()
     use_bloom = winner_filter == "bloom" or (winner_filter == "auto" and n_keys > exact_limit)
@@ -233,17 +264,17 @@ def merge_datasets_wide(
                 row[f"__bloom_{w}"] = [_bloom_set(h, num_bits).tobytes()]
             return pd.DataFrame(row)
 
-        parts = (
+        # STREAM the partials into the aggregate (iter_rows): take_all
+        # would hold blocks x bitmap on the driver at once, defeating
+        # the "fixed driver memory" point of the bloom path (ADVICE r2)
+        winners = {w: np.zeros(num_bits // 8 + 1, dtype=np.uint8) for w in wide_cols}
+        for r in (
             merged_light.select_columns([key] + wts_cols)
             .map_batches(partial_bloom, batch_format="pandas")
-            .take_all()
-        )
-        winners = {}
-        for w in wide_cols:
-            agg = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
-            for r in parts:
-                agg |= np.frombuffer(r[f"__bloom_{w}"], dtype=np.uint8)
-            winners[w] = agg
+            .iter_rows()
+        ):
+            for w in wide_cols:
+                winners[w] |= np.frombuffer(r[f"__bloom_{w}"], dtype=np.uint8)
     else:
         num_bits = 0
         win_df = merged_light.select_columns([key] + wts_cols).to_pandas()
@@ -326,7 +357,7 @@ def merge_datasets_wide(
         pay_rows = t.filter(pc.equal(side, 1))
         for w in wide_cols:
             pay = pay_rows
-            tsi = pc.fill_null(pc.cast(pay.column(ts), pa.int64()), _TS_MIN)
+            tsi = _ts_i64_arrow(pay.column(ts))
             m = pa.table(
                 {key: pay.column(key), f"__wts_{w}": tsi, w: pay.column(w)}
             )

@@ -103,3 +103,39 @@ def test_asof_null_keys_and_ts_pass_through_unmatched(ray_session):
     assert out.val.tolist()[0] == 100     # normal match
     assert pd.isna(out.val.tolist()[1])   # null key -> unmatched (never 999)
     assert pd.isna(out.val.tolist()[2])   # null ts -> unmatched, no crash
+
+
+def test_asof_raises_on_int64_beyond_2pow53(ray_session):
+    # VERDICT r2 #8: int64 values above 2^53 would silently round
+    # through the float64 union fold -- the join must raise instead
+    import pytest
+
+    big = (1 << 53) + 7
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(2)], pa.timestamp("us")),
+            "payload": pa.array([big, 5], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "rts": pa.array([_ts(0)], pa.timestamp("us")),
+            "val": pa.array([3], pa.int64()),
+        }
+    )
+    # the ValueError surfaces wrapped in RayTaskError -> match message
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=2,
+        ).to_pandas()
+
+    # sanity: exactly-representable values still pass
+    ok_left = left.set_column(2, "payload", pa.array([1 << 53, 5], pa.int64()))
+    out = asof_join(
+        ray.data.from_arrow(ok_left), ray.data.from_arrow(right),
+        key="k", left_ts="ts", right_ts="rts", num_buckets=2,
+    ).to_pandas()
+    assert sorted(out.payload.tolist()) == [5, 1 << 53]

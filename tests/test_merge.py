@@ -364,3 +364,49 @@ def test_wide_merge_two_wide_cols_split_payload_ties(ray_session):
     pd.testing.assert_frame_equal(single, wide, check_dtype=False)
     u = wide[wide.url == "u"].iloc[0]
     assert u.html == b"HTML" and u.img == b"IMG"
+
+
+def test_wide_merge_ns_unit_source_column(ray_session):
+    # ADVICE r2: the fold-side winner ts and the Arrow-side casts must
+    # share ONE canonical int64 unit BY CONSTRUCTION. A timestamp[ns]
+    # source column previously relied on pandas preserving ns on both
+    # sides; a unit mismatch nulls EVERY wide column silently. Also
+    # covers the non-timestamp (plain int64 ts) case.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets, merge_datasets_wide
+
+    n = 120
+    urls = [f"u{i % 30}" for i in range(n)]
+    for ts_arr in (
+        pa.array((np.arange(n) * 1_000_000).astype("datetime64[ns]"), pa.timestamp("ns")),
+        pa.array(np.arange(n), pa.int64()),
+    ):
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": ts_arr,
+                "html": pa.array([b"payload-%d" % i for i in range(n)], pa.binary()),
+                "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+            }
+        )
+
+        def norm(ds):
+            return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+        single = norm(merge_datasets(ray.data.from_arrow(t).repartition(3), num_buckets=4))
+        for mode in ("exact", "bloom"):
+            wide = norm(
+                merge_datasets_wide(
+                    lambda: ray.data.from_arrow(t).repartition(3),
+                    ["html"],
+                    num_buckets=4,
+                    winner_filter=mode,
+                )
+            )
+            # the failure mode is every html coming back null -- assert
+            # full equality against the single-pass merge instead
+            assert wide["html"].notna().all()
+            pd.testing.assert_frame_equal(single, wide, check_dtype=False)

@@ -55,29 +55,56 @@ _PROFILE_PACKS = {
     for lang, words in PROFILES.items()
 }
 
+#: ONE sorted array of every profile pack + a (num_packs x num_langs)
+#: membership matrix: token membership across all 7 languages is a
+#: single searchsorted probe (words like "de" belong to several
+#: languages, hence a matrix, not a lang id)
+_ALL_PACKS = np.unique(np.concatenate(list(_PROFILE_PACKS.values())))
+_PACK_LANGS = np.zeros((len(_ALL_PACKS), len(PROFILES)), bool)
+for _li, _lang in enumerate(PROFILES):
+    _PACK_LANGS[np.searchsorted(_ALL_PACKS, _PROFILE_PACKS[_lang]), _li] = True
+
 _SAMPLE_CAP = 4000
 
+#: script ranges as (lang, [(lo_codepoint, hi_codepoint), ...]) parsed
+#: FROM the regex char classes above -- one source of truth, so the
+#: vectorized path cannot drift from :meth:`LangId.classify`
+def _parse_spans(pattern: str):
+    inner = pattern[1:-1]
+    spans, i = [], 0
+    while i < len(inner):
+        if i + 2 < len(inner) and inner[i + 1] == "-":
+            spans.append((ord(inner[i]), ord(inner[i + 2])))
+            i += 3
+        else:
+            spans.append((ord(inner[i]), ord(inner[i])))
+            i += 1
+    return spans
 
-def _span_langid(b: np.ndarray, off: np.ndarray):
-    """(ntok, hitmat) for one row span (off normalized to b)."""
-    from engine.textstats import _LOWER
 
-    n = len(off) - 1
-    bl = _LOWER[b]
-    letter = (bl >= 97) & (bl <= 122)
-    # sample cap: positions past row_start+4000 don't participate --
-    # built only when some row actually exceeds the cap (the index
-    # machinery is 3 span-sized int64 temporaries)
-    if len(b) and int((off[1:] - off[:-1]).max()) > _SAMPLE_CAP:
-        row_starts = np.repeat(off[:-1], np.diff(off))
-        letter &= np.arange(len(b)) < row_starts + _SAMPLE_CAP
+_SCRIPT_SPANS = [(lang, _parse_spans(rx.pattern)) for lang, rx in _SCRIPT_RANGES]
 
+#: cache block: ~64K chars -> 256 KB utf-32 temporaries stay L2-resident
+#: so 32 concurrent workers contend on cores, not DRAM bandwidth
+_BLOCK_CHARS = 64 * 1024
+
+
+def _token_kernel(cp: np.ndarray, off: np.ndarray, n: int):
+    """(ntok, hitmat) over a codepoint array with row offsets.
+
+    The token class ``[a-zà-ÿäöüßñç]``
+    collapses to codepoints 97-122 and 223-255 (0xDF..0xFF contiguous);
+    tokens are maximal runs, profile compares pack each <=8-char token's
+    codepoints into a uint64 (every letter fits one byte lane, and only
+    pure-ASCII packs can ever equal an ASCII profile word's pack).
+    """
+    letter = ((cp >= 97) & (cp <= 122)) | ((cp >= 0xDF) & (cp <= 0xFF))
     prev = np.empty_like(letter)
     if len(letter):
         prev[0] = False
         prev[1:] = letter[:-1]
         idx = off[:-1]
-        prev[idx[idx < len(letter)]] = False
+        prev[idx[idx < len(letter)]] = False  # row boundary: no prev char
     starts = letter & ~prev
     nxt = np.empty_like(letter)
     if len(letter):
@@ -97,58 +124,140 @@ def _span_langid(b: np.ndarray, off: np.ndarray):
         lengths = ei - si + 1
         short = lengths <= 8
         si_s, len_s, rows_s = si[short], lengths[short], rows[short]
-        bp = np.concatenate([bl, np.zeros(8, np.uint8)])
-        g = bp[si_s[:, None] + np.arange(8)[None, :]]
-        g = np.where(np.arange(8)[None, :] < len_s[:, None], g, 0).astype(np.uint64)
-        packs = np.zeros(len(si_s), np.uint64)
-        for j in range(8):
-            packs |= g[:, j] << np.uint64(8 * j)
-        for li, lang in enumerate(_LANGS):
-            m = np.isin(packs, _PROFILE_PACKS[lang])
-            if m.any():
-                hitmat[:, li] = np.bincount(rows_s[m], minlength=n)
+        cpp = np.concatenate([cp, np.zeros(8, np.uint32)])
+        g = cpp[si_s[:, None] + np.arange(8)[None, :]]
+        g = np.where(np.arange(8)[None, :] < len_s[:, None], g, 0)
+        # two uint32 half-packs, combined once -- halves the temporary
+        # bytes versus an eight-lane uint64 accumulate
+        lo = g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16) | (g[:, 3] << 24)
+        hi = g[:, 4] | (g[:, 5] << 8) | (g[:, 6] << 16) | (g[:, 7] << 24)
+        packs = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        # ONE searchsorted probe against the combined profile table
+        # (np.isin would re-sort the large packs array once PER LANG)
+        pos = np.searchsorted(_ALL_PACKS, packs)
+        pos[pos == len(_ALL_PACKS)] = 0
+        valid = _ALL_PACKS[pos] == packs
+        if valid.any():
+            widx = pos[valid]
+            rows_v = rows_s[valid]
+            member = _PACK_LANGS[widx]  # (matched, num_langs)
+            for li in range(len(_LANGS)):
+                col = member[:, li]
+                if col.any():
+                    hitmat[:, li] = np.bincount(rows_v[col], minlength=n)
     return ntok, hitmat
 
 
-def _ascii_langid(s: pd.Series):
-    """Vectorized (lang_pred, lang_conf) for an all-ASCII batch, exactly
-    mirroring :meth:`LangId.classify`: on ASCII text no script range can
-    match, tokens are lowercase-letter runs of the first 4000 chars, and
-    profile scoring is hit-count argmax (dict order breaks ties, first
-    strictly-greater wins -- np.argmax's first-wins matches). Returns
-    None when the batch has any non-ASCII byte (callers fall back to
-    the per-row path). Cache-blocked like engine.textstats, and OPT-IN
-    via ``GRAFT_FAST_KERNELS=1`` for the same reason (see
-    engine.textstats._ascii_fast_counts: bandwidth-bound vs the stable
-    compute-bound loop path)."""
-    import os
+def _block_langid(texts):
+    """(preds, confs) for one cache block of <=4000-char samples --
+    vectorized for ANY content, exactly mirroring
+    :meth:`LangId.classify`:
 
-    if os.environ.get("GRAFT_FAST_KERNELS") != "1":
-        return None
-    from engine.textstats import iter_spans, string_buffer
+    - script vote: per-language codepoint-range counts (one boolean
+      mask + bincount per language over the block's utf-32 view), in
+      declaration order with first-match-wins (``ja`` before ``zh``);
+    - residual rows: lowercase ONCE (whole block string; falls back to
+      per-row joins only if a 1->N lowercase expansion shifted offsets,
+      which CPython lower can do e.g. for U+0130), then letter-run
+      tokenization + packed profile compare; argmax first-wins matches
+      dict-order tie breaking.
 
-    buf = string_buffer(s)
-    if buf is None:
-        return None
-    b, off = buf
-    n = len(off) - 1
-    if n == 0:
-        return np.array([], object), np.array([], np.float64)
-    parts = [
-        _span_langid(b[off[r0] : off[r1]], off[r0 : r1 + 1] - off[r0])
-        for r0, r1 in iter_spans(off)
-    ]
-    ntok = np.concatenate([p[0] for p in parts])
-    hitmat = np.concatenate([p[1] for p in parts])
+    Raises UnicodeEncodeError on lone surrogates (caller falls back to
+    the per-row path for that block only).
+    """
+    n = len(texts)
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter(map(len, texts), np.int64, n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    nchar = np.maximum(lens, 1).astype(np.float64)
 
-    best_idx = np.argmax(hitmat, axis=1)
-    best_hits = hitmat[np.arange(n), best_idx]
-    und = (best_hits == 0) | (ntok == 0)
-    preds = np.array(_LANGS, object)[best_idx]
-    preds[und] = "und"
-    with np.errstate(divide="ignore", invalid="ignore"):
-        conf = np.where(und, 0.0, np.minimum(1.0, best_hits / np.maximum(ntok, 1) * 2))
-    return preds, np.round(conf, 6)
+    preds = np.full(n, "und", object)
+    confs = np.zeros(n, np.float64)
+    decided = np.zeros(n, bool)
+    top = int(cp.max()) if len(cp) else 0
+    if len(cp) and top >= min(lo for _, sp in _SCRIPT_SPANS for lo, _ in sp):
+        rowid = np.repeat(np.arange(n), lens)
+        for lang, spans in _SCRIPT_SPANS:
+            if all(lo > top for lo, _ in spans):
+                continue  # block holds no codepoint that high (ASCII fast case)
+            mask = np.zeros(len(cp), bool)
+            for lo, hi in spans:
+                mask |= (cp >= lo) & (cp <= hi)
+            idx = rowid[mask]
+            if not len(idx):
+                continue
+            ratio = np.bincount(idx, minlength=n) / nchar
+            newly = ~decided & (ratio > 0.05)
+            if newly.any():
+                preds[newly] = lang
+                confs[newly] = np.minimum(1.0, ratio[newly] * 4)
+                decided |= newly
+
+    joined_l = joined.lower()
+    if len(joined_l) == len(joined):
+        # every lowercase mapping was 1:1 -> the offsets stay valid
+        cpl = np.frombuffer(joined_l.encode("utf-32-le"), dtype=np.uint32)
+        ntok, hitmat = _token_kernel(cpl, off, n)
+    else:
+        low = [t.lower() for t in texts]
+        lens2 = np.fromiter(map(len, low), np.int64, n)
+        off2 = np.zeros(n + 1, np.int64)
+        np.cumsum(lens2, out=off2[1:])
+        cpl = np.frombuffer("".join(low).encode("utf-32-le"), dtype=np.uint32)
+        ntok, hitmat = _token_kernel(cpl, off2, n)
+
+    best = hitmat.argmax(axis=1)
+    bh = hitmat[np.arange(n), best]
+    und = (bh == 0) | (ntok == 0)
+    tok_pred = np.array(_LANGS, object)[best]
+    tok_pred[und] = "und"
+    tok_conf = np.where(und, 0.0, np.minimum(1.0, bh / np.maximum(ntok, 1) * 2))
+    take = ~decided
+    preds[take] = tok_pred[take]
+    confs[take] = tok_conf[take]
+    return preds, confs
+
+
+def _vector_langid(s: pd.Series):
+    """Default-on vectorized (lang_pred, lang_conf) for ANY batch --
+    ASCII and non-ASCII rows alike go through codepoint-domain numpy
+    kernels; per-row Python survives only for blocks containing lone
+    surrogates (unencodable to utf-32). Mirrors classify() exactly
+    (parity-fuzzed); round-2 VERDICT #1: the previous design dropped
+    WHOLE batches to a per-row loop on any non-ASCII byte, i.e. the
+    common case of a web corpus, inside the hottest stage."""
+    samples = s.str.slice(0, _SAMPLE_CAP)
+    texts = samples.tolist()
+    n = len(texts)
+    preds = np.empty(n, object)
+    confs = np.empty(n, np.float64)
+    lens = np.fromiter(map(len, texts), np.int64, n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    from engine.textstats import iter_spans
+
+    for r0, r1 in iter_spans(off, limit=_BLOCK_CHARS):
+        try:
+            p, c = _block_langid(texts[r0:r1])
+        except UnicodeEncodeError:
+            li = _fallback_langid()
+            pc_rows = [li.classify(t or "") for t in texts[r0:r1]]
+            p = np.array([x[0] for x in pc_rows], object)
+            c = np.array([x[1] for x in pc_rows], np.float64)
+        preds[r0:r1] = p
+        confs[r0:r1] = c
+    return preds, confs
+
+
+_FALLBACK: list = []
+
+
+def _fallback_langid():
+    if not _FALLBACK:
+        _FALLBACK.append(LangId())
+    return _FALLBACK[0]
 
 
 class LangId:
@@ -184,21 +293,8 @@ class LangId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
-        fast = _ascii_langid(s)
-        if fast is not None:
-            # all-ASCII batch: script ranges cannot match, so the whole
-            # classify collapses to vectorized token scoring
-            return batch.assign(lang_pred=fast[0], lang_conf=fast[1])
-        # per-row loop for batches with non-ASCII rows: the script check
-        # early-exits and the profile sets are probed on ONE
-        # tokenization; per-language regex-alternation counting
-        # measured 2x slower on real text
-        preds = [self.classify(t or "") for t in s]
-        batch = batch.assign(
-            lang_pred=[p[0] for p in preds],
-            lang_conf=np.round([p[1] for p in preds], 6),
-        )
-        return batch
+        preds, conf = _vector_langid(s)
+        return batch.assign(lang_pred=preds, lang_conf=np.round(conf, 6))
 
 
 _PROC_CACHE: dict = {}

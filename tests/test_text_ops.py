@@ -280,31 +280,44 @@ def test_textstats_ascii_fast_path_parity(monkeypatch):
     assert _ascii_fast_counts(pd.Series(["héllo"])) is None
 
 
-def test_langid_ascii_fast_path_parity(monkeypatch):
-    # the vectorized all-ASCII path must match classify() exactly
-    # (lang_id is a hard oracle; ties break by profile dict order)
+def test_langid_vectorized_parity():
+    # the default-on vectorized path must match classify() exactly for
+    # ANY content -- ASCII, accents, CJK, Cyrillic, mixed-script, the
+    # 4000-char sample cap, lowercase 1->N expansion (lang_id is a hard
+    # oracle; ties break by profile dict order)
     import numpy as np
     import pandas as pd
 
-    from engine.langid import PROFILES, LangId, _ascii_langid
+    from engine.langid import PROFILES, LangId, _vector_langid
 
-    monkeypatch.setenv("GRAFT_FAST_KERNELS", "1")
     li = LangId()
     pool = [w for ws in PROFILES.values() for w in ws] + [
-        "zzz", "quux", "x", "12", "...", "verylongtokenhere"
+        "zzz", "quux", "x", "12", "...", "verylongtokenhere",
+        "café", "señor", "straße", "Ärger", "naïve",
     ]
     rng = np.random.default_rng(3)
-    cases = ["", " ", "the the the", "de la que el", "der die und"]
+    cases = [
+        "", " ", "the the the", "de la que el", "der die und",
+        "これは日本語のテキストです。",          # kana -> ja
+        "这是一段中文文本，用来测试。",            # han  -> zh
+        "한국어 텍스트 샘플입니다",               # hangul -> ko
+        "это русский текст для проверки",      # cyrillic -> ru
+        "هذا نص عربي للاختبار",                 # arabic -> ar
+        "αυτό είναι ελληνικό κείμενο",          # greek -> el
+        "日本語 mixed with the english text",    # mixed below 5% -> latin
+        "汉" + "x" * 100,                        # han below threshold
+        "élan à la ça väl öl für",              # accented latin only
+        "İstanbul İÇİNDE İ İ İ",                 # U+0130: lower() expands 1->2
+        "\U0001F600 emoji the of and to a in",   # non-BMP
+    ]
     for _ in range(300):
         cases.append(" ".join(rng.choice(pool, rng.integers(0, 30))))
     cases.append(("the " * 1500) + ("de la " * 500))  # 4000-char sample cap
     cases.append("x" * 5000)
+    cases.append("語" * 300 + " the of and" * 10)     # script + latin tail
     s = pd.Series(cases)
-    fast = _ascii_langid(s)
-    assert fast is not None
+    preds, confs = _vector_langid(s)
     for i, t in enumerate(s):
         rp, rc = li.classify(t or "")
-        assert fast[0][i] == rp, (i, fast[0][i], rp)
-        assert abs(fast[1][i] - round(rc, 6)) < 1e-9
-    # any non-ASCII byte in the batch -> fall back to the loop path
-    assert _ascii_langid(pd.Series(["это русский"])) is None
+        assert preds[i] == rp, (i, t[:40], preds[i], rp)
+        assert abs(confs[i] - rc) < 1e-12, (i, t[:40], confs[i], rc)

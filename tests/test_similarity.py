@@ -152,3 +152,68 @@ def test_ivf_indexed_matches_compute_path_and_prunes(ray_session, tmp_path):
         lo, hi = f.stats["__list"]
         if not any(lo <= v <= hi for v in probed):
             assert f not in one_list
+
+
+def test_lsh_bucketed_matches_broadcast_on_shared_signature(ray_session):
+    # repaired coarse-bucket fold (VERDICT r2 #4) must emit the SAME
+    # pair set as exact all-pairs for pairs that share a signature cell;
+    # with a tiny corpus and few bits most planted dups collide.
+    t, m = _emb_table(120)
+    ds = ray.data.from_arrow(t).repartition(3)
+    lsh = lsh_bucketed_pairs(ds, threshold=0.9, num_bits=4).to_pandas()
+    exact = cosine_dup_pairs(ds, threshold=0.9).to_pandas()
+    sigs = hyperplane_signatures(_normalize(m), 4)
+    exp = {
+        (a, b)
+        for a, b in exact[["id_a", "id_b"]].itertuples(index=False)
+        if sigs[a] == sigs[b]
+    }
+    got = {tuple(p) for p in lsh[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == exp
+    # scores are exact cosine (not approximated)
+    merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert np.allclose(merged.cosine_l, merged.cosine_e, atol=1e-12)
+
+
+def test_lsh_hot_cell_cap_linear_output_and_connected(ray_session):
+    # planted boilerplate cluster: 300 near-identical embeddings land
+    # whole in one signature cell -> uncapped output is O(m^2) pairs;
+    # max_cell must bound it to O(m * max_cell) while keeping the
+    # cluster one connected component with every pair cosine-verified.
+    from engine.dedup import connected_components
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    m = base[None, :] + 1e-4 * rng.standard_normal((300, 16))
+    extra = rng.standard_normal((50, 16))  # unrelated singletons
+    allm = np.vstack([m, extra])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(allm)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in allm], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    capped = lsh_bucketed_pairs(ds, threshold=0.99, num_bits=4, max_cell=32).to_pandas()
+    # linear bound: m chunks of <=32 members -> < m * 32 pairs, far
+    # below the 300*299/2 = 44850 uncapped pairs
+    assert 299 <= len(capped) < 300 * 32
+    assert (capped.cosine >= 0.99).all()
+    comp = connected_components(capped)
+    roots = {comp.get(i, i) for i in range(300)}
+    assert roots == {0}, roots  # one component through chunk overlap
+    assert not any(i in comp for i in range(300, 350))
+
+
+def test_embed_dup_pairs_auto_routes(ray_session):
+    from engine.similarity import embed_dup_pairs_auto
+
+    t, _ = _emb_table(100)
+    ds = ray.data.from_arrow(t)
+    pairs_b, path_b = embed_dup_pairs_auto(ds, threshold=0.99, broadcast_limit=1000)
+    assert path_b == "broadcast"
+    pairs_l, path_l = embed_dup_pairs_auto(ds, threshold=0.99, broadcast_limit=10, num_bits=4)
+    assert path_l == "lsh"
+    got_b = {tuple(p) for p in pairs_b.to_pandas()[["id_a", "id_b"]].itertuples(index=False)}
+    got_l = {tuple(p) for p in pairs_l.to_pandas()[["id_a", "id_b"]].itertuples(index=False)}
+    assert {(0, 1), (10, 11)} <= got_l <= got_b  # lsh recall <= exact

@@ -898,4 +898,57 @@ def oracle_sql() -> dict[str, str]:
             "'<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS extracted_text, "
             "CAST(NULL AS VARCHAR) AS decode_error FROM pages"
         ),
+        # full SQL re-derivation of rolling-hash winnowing (Schleimer et
+        # al. 2003; engine/fingerprint.py with k=5, w=4): UTF-8 bytes
+        # via hex(encode(...)), the Rabin-Karp recurrence in HUGEINT
+        # with an explicit mod 2^64 per multiply-add (each partial
+        # < 2^84, inside HUGEINT range), rightmost-argmin winnowing
+        # windows, xor-fold over the distinct selected hashes. An
+        # independent implementation, not a golden dump.
+        "fingerprint": """
+        WITH raw AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, n,
+            list_transform(range(0, n), i ->
+              CAST(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1 AS HUGEINT) * 16 +
+              (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+            ) AS b
+          FROM raw
+        ),
+        hashes AS (
+          SELECT doc_id, n,
+            CASE WHEN n >= 5 THEN
+              list_transform(range(0, n-4), p ->
+                (((((((b[p+1]*1000003 + b[p+2]) % 18446744073709551616)*1000003
+                  + b[p+3]) % 18446744073709551616)*1000003
+                  + b[p+4]) % 18446744073709551616)*1000003
+                  + b[p+5]) % 18446744073709551616
+              )
+            ELSE CAST([] AS HUGEINT[]) END AS h
+          FROM bytes
+        ),
+        winnowed AS (
+          SELECT doc_id, n,
+            CASE
+              WHEN len(h) = 0 THEN CAST([] AS HUGEINT[])
+              WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_transform(range(1, len(h)-2), s ->
+                h[s + CASE WHEN h[s+3] <= least(h[s],h[s+1],h[s+2]) THEN 3
+                           WHEN h[s+2] <= least(h[s],h[s+1]) THEN 2
+                           WHEN h[s+1] <= h[s] THEN 1 ELSE 0 END]
+              )
+            END AS fps
+          FROM hashes
+        )
+        SELECT doc_id,
+          CASE WHEN len(fps) = 0 THEN 0
+               ELSE list_aggregate(list_transform(list_distinct(fps),
+                      v -> CAST((v*1000003 + 1) % 18446744073709551616 AS UBIGINT)), 'bit_xor')
+          END AS fingerprint,
+          greatest(n - 4, CAST(0 AS BIGINT)) AS n_grams
+        FROM winnowed
+        """,
     }

@@ -321,3 +321,38 @@ def test_langid_vectorized_parity():
         rp, rc = li.classify(t or "")
         assert preds[i] == rp, (i, t[:40], preds[i], rp)
         assert abs(confs[i] - rc) < 1e-12, (i, t[:40], confs[i], rc)
+
+
+def test_fingerprint_oracle_sql_parity(ray_session, sf_dir):
+    # the DuckDB oracle in __ray_entry__.oracle_sql()["fingerprint"] is
+    # an independent SQL re-derivation of winnowing (HUGEINT mod-2^64
+    # recurrence); it must agree with the Ray stage on the real corpus
+    # AND on adversarial edge docs (empty, shorter than k, len(h)<=w,
+    # non-ASCII multi-byte, ties in windows)
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()["fingerprint"]
+    edge = pa.table(
+        {
+            "doc_id": pa.array(np.arange(9000, 9008), pa.int64()),
+            "text": pa.array(
+                ["", "abc", "abcd", "abcde", "abcdefg", "aaaaaaaaaaaa",
+                 "héllo wörld ünïcode", "日本語のテキスト"]
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("edge", edge)
+    con.sql(f"CREATE VIEW documents AS SELECT doc_id, text FROM '{sf_dir}/documents.parquet' UNION ALL SELECT * FROM edge")
+    oracle = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(edge)
+    )
+    got = fingerprint_stage(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got.doc_id.to_numpy() == oracle.doc_id.to_numpy()).all()
+    assert (got.fingerprint.to_numpy().astype(np.uint64) == oracle.fingerprint.to_numpy().astype(np.uint64)).all()
+    assert (got.n_grams.to_numpy() == oracle.n_grams.to_numpy()).all()

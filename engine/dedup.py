@@ -1138,8 +1138,6 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    num_buckets = _pairs_buckets(ds if ds is not None else sigs, num_buckets)
-
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t.column("band_key").to_numpy(zero_copy_only=False)
         return t.append_column(

@@ -1043,7 +1043,8 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
     toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
     lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
     flat = [s for tk in toks_per for s in tk]
-    sigs = np.zeros(len(texts), dtype=np.uint64)
+    n = len(texts)
+    sigs = np.zeros(n, dtype=np.uint64)
     if not flat:
         return sigs
     if hasher == "md5":
@@ -1056,16 +1057,40 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
         )
     else:
         h = pd.util.hash_array(np.array(flat, dtype=object))  # (N,) uint64
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    nz = lens > 0
-    ends = np.cumsum(lens)
-    doc_starts = ends - lens
-    # reduceat over NONEMPTY doc starts: empty docs contribute no
-    # tokens, so each nonempty segment runs exactly to the next
-    # nonempty doc's start (or the end of flat)
-    ones = np.add.reduceat(bits, doc_starts[nz], axis=0)
-    sig_bits = (2 * ones) > lens[nz, None]
-    sigs[nz] = np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little").view(np.uint64).ravel()
+    # Bit counting runs as float32 `add.reduceat` over doc-aligned
+    # TOKEN chunks. Two measured pathologies drove this shape (r3):
+    # this numpy's integer reduceat is 12-24x slower than its float32
+    # SIMD path (uint8 input promoting to uint64 was 33s/Mtok; float32
+    # is 1.4s/Mtok), and one batch-sized bits matrix (64B/token) is a
+    # first-touch page-fault storm that made the stage scale INVERSELY
+    # 8->32 workers (50s -> 192s on the 2.4M-row bench input). Chunks
+    # of <=32k tokens keep the temporary ~8MB so the allocator reuses
+    # one warm arena. float32 sums are exact below 2^24 tokens/doc;
+    # longer docs (pathological) fall back to the int64 loop.
+    s_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=s_off[1:])
+    acc_dt = np.float32 if int(lens.max()) < (1 << 24) else np.int64
+    from engine.textstats import iter_spans
+
+    for r0, r1 in iter_spans(s_off, limit=32768):
+        lo, hi = int(s_off[r0]), int(s_off[r1])
+        if lo == hi:
+            continue
+        seg_lens = lens[r0:r1]
+        seg_nz = seg_lens > 0
+        bits = np.unpackbits(
+            h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(acc_dt)
+        # reduceat over NONEMPTY doc starts: empty docs contribute no
+        # tokens, so each nonempty segment runs exactly to the next
+        # nonempty doc's start (or the end of the chunk)
+        ones = np.add.reduceat(bits, s_off[r0:r1][seg_nz] - lo, axis=0)
+        sig_bits = (2 * ones) > seg_lens[seg_nz, None].astype(acc_dt)
+        sigs[np.flatnonzero(seg_nz) + r0] = (
+            np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little")
+            .view(np.uint64)
+            .ravel()
+        )
     return sigs
 
 

@@ -283,3 +283,35 @@ def test_minhash_flat_kernel_bit_parity():
     flat = minhash_signatures_flat(docs, mh.a, mh.b, 3)
     ref = np.stack([mh._doc_signature(d) for d in docs])
     assert (flat == ref).all()
+
+
+def test_simhash_chunked_kernel_parity():
+    # r3 perf fix: bit counting runs as float32 reduceat over <=32k-token
+    # chunks; must be bit-identical to the one-shot uint8 formula,
+    # including empty docs, ties, and docs longer than one chunk
+    import numpy as np
+    import pandas as pd
+
+    from engine.dedup import _TOKEN_RE, simhash_texts
+
+    def one_shot(texts):
+        toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
+        lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
+        flat = [s for tk in toks_per for s in tk]
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return sigs
+        h = pd.util.hash_array(np.array(flat, dtype=object))
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        nz = lens > 0
+        starts = np.cumsum(lens) - lens
+        ones = np.add.reduceat(bits, starts[nz], axis=0)
+        sig_bits = (2 * ones.astype(np.int64)) > lens[nz, None]
+        sigs[nz] = np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little").view(np.uint64).ravel()
+        return sigs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, int(x))) for x in rng.integers(0, 200, 400)]
+    docs += ["", "   ", None, "solo", "t t", " ".join(rng.choice(vocab, 40000))]  # > one chunk
+    assert (simhash_texts(docs) == one_shot(docs)).all()

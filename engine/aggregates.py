@@ -8,27 +8,25 @@ folds the partials. Rows shuffled = O(batches), not O(rows).
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from engine.infer import ALPHA
 
 
 def pattern_score_distributed(ds, width_col: str) -> float:
     """A2 at scale: P = (1/K) * sum_k N_k * max(alpha, L_k-1)/L_k over
-    the global row-width histogram, computed as per-batch Counters ->
+    the global row-width histogram, computed as per-batch value_counts ->
     groupby(width).sum (the histogram is tiny: K distinct widths)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        widths = t.column(width_col).to_pylist()
-        c = Counter(widths)
+        vc = pc.value_counts(t.column(width_col).combine_chunks())
         return pa.table(
             {
-                "width": pa.array(list(c.keys()), pa.int64()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "width": vc.field("values").cast(pa.int64()),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 

@@ -106,10 +106,21 @@ def _per_row(mask: np.ndarray, off: np.ndarray, n: int) -> np.ndarray:
     clipping (clipping truncates the previous segment)."""
     if n == 0 or len(mask) == 0:
         return np.zeros(n, np.int64)
-    m = np.empty(len(mask) + 1, np.int16)
-    m[:-1] = mask
-    m[-1] = 0
-    r = np.add.reduceat(m, off[:-1], dtype=np.int64)
+    # float32 accumulate: this numpy's float reduceat takes the SIMD
+    # pairwise path while the integer loops are 3-24x slower (measured
+    # r3, same pathology as the simhash bit counts). Exact below 2^24
+    # per segment; spans are <= _SPAN bytes except a single oversized
+    # row, which keeps the exact int64 loop.
+    if len(mask) >= (1 << 24):
+        m = np.empty(len(mask) + 1, np.int16)
+        m[:-1] = mask
+        m[-1] = 0
+        r = np.add.reduceat(m, off[:-1], dtype=np.int64)
+    else:
+        m = np.empty(len(mask) + 1, np.float32)
+        m[:-1] = mask
+        m[-1] = 0
+        r = np.add.reduceat(m, off[:-1]).astype(np.int64)
     r[off[:-1] == off[1:]] = 0
     return r
 
@@ -177,17 +188,19 @@ def _ascii_fast_counts(s: pd.Series):
     ASCII lowercasing. Work is cache-blocked into ``_SPAN``-byte row
     chunks (see the constant's comment).
 
-    OPT-IN via ``GRAFT_FAST_KERNELS=1``: the byte path is ~2x faster
-    per core but memory-bandwidth-bound; the regex path is
-    compute-bound. Measured on this host at 32 concurrent workers the
-    byte path's wall time is equal-at-best and wildly variant
-    (bandwidth contention windows: 14.5s / 32.6s / 137.7s across
-    interleaved trials vs the regex path's stable 11-18s), so the
-    stable path is the default; enable the byte path on nodes whose
-    core:bandwidth ratio favors it."""
+    DEFAULT-ON since r3 (``GRAFT_FAST_KERNELS=0`` restores the regex
+    path). Round 2 measured the byte path "equal-at-best and wildly
+    variant" at 32 workers and made it opt-in; r3 traced that entirely
+    to ``_per_row``'s integer ``add.reduceat`` (this numpy's integer
+    reduceat loops are 3-24x slower than its float32 SIMD path -- the
+    same pathology that made simhash scale inversely). With float32
+    accumulation the byte path is stable AND faster at both levels:
+    interleaved 3-trial A/B on the 2.4M-row bench input measured
+    fast 7.2-8.3s vs regex 20.2-22.8s at 8 workers, fast 3.0-6.1s vs
+    regex 7.0-8.0s at 32."""
     import os
 
-    if os.environ.get("GRAFT_FAST_KERNELS") != "1":
+    if os.environ.get("GRAFT_FAST_KERNELS", "1") == "0":
         return None
     buf = string_buffer(s)
     if buf is None:

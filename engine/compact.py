@@ -105,7 +105,7 @@ def _rewrite_bin(
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    from engine.writer import _file_stats
+    from engine.writer import _file_distincts, _file_stats
 
     tables = [pq.read_table(p) for p in paths]
     merged = pa.concat_tables(tables, promote_options="default")
@@ -118,6 +118,7 @@ def _rewrite_bin(
         "bytes": os.path.getsize(out_path),
         "partition": partition,
         "stats": _file_stats(merged, stats_cols),
+        "distincts": _file_distincts(merged, stats_cols),
     }
 
 

@@ -331,6 +331,19 @@ def compact(
     )
 
 
+def _codes_from_manifest(table: Table, col: str) -> Optional[dict]:
+    """Dense dictionary codes for ``col`` from the manifest's per-file
+    distinct-value sets -- exact iff EVERY live file recorded the stat
+    (a file over the cardinality cap, or written pre-stat, forces the
+    scan fallback). Same sorted-distinct mapping as
+    ``collect_lang_codes`` by construction."""
+    files = table.live_files()
+    if not files or any(col not in f.distincts for f in files):
+        return None
+    vals = sorted({v for f in files for v in f.distincts[col] if v is not None})
+    return {v: i for i, v in enumerate(vals)}
+
+
 def cluster(
     table: Table,
     cfg: Optional[EngineConfig] = None,
@@ -341,10 +354,14 @@ def cluster(
     sort -> write files (zkey min/max recorded per file) -> snapshot."""
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
-    # pruned single-column scan: unique(lang) must not read html bytes
-    codes = collect_lang_codes(
-        table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
-    )
+    # distinct codes from manifest value-set stats when every live file
+    # carries them (metadata-only, no Dataset execution); fall back to a
+    # pruned single-column scan -- unique(lang) must not read html bytes
+    codes = _codes_from_manifest(table, cfg.cluster_cols[0])
+    if codes is None:
+        codes = collect_lang_codes(
+            table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
+        )
     blocks = _shuffle_blocks(table, cfg)
     clustered = cluster_dataset(
         table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,

@@ -55,6 +55,13 @@ class FileEntry:
     partition: Optional[str] = None
     #: per-column {"col": [min, max]} (A6; Z-order pruning relies on it)
     stats: dict = field(default_factory=dict)
+    #: per-column exact distinct-value sets for low-cardinality string
+    #: columns ({"col": [sorted values]}, capped at write time) -- the
+    #: Iceberg-style value-set stat: enables exact membership pruning
+    #: where min/max ranges cannot ("de" BETWEEN min "ar" AND max "zh"
+    #: overlaps, but {ar, zh} proves absence), and lets metadata-only
+    #: jobs (clustering's dictionary-code collection) skip a data scan.
+    distincts: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -371,6 +378,15 @@ class Table:
 
 def _stats_overlap(fe: FileEntry, predicate_stats: dict) -> bool:
     for col, (lo, hi) in predicate_stats.items():
+        # exact membership pruning first: a recorded distinct set proves
+        # absence even when the [min, max] range overlaps the predicate
+        dv = fe.distincts.get(col)
+        if dv is not None and not any(
+            (lo is None or v >= lo) and (hi is None or v <= hi)
+            for v in dv
+            if v is not None
+        ):
+            return False
         rng = fe.stats.get(col)
         if rng is None:
             continue  # no stats -> cannot prune

@@ -41,6 +41,40 @@ def _file_stats(block: pa.Table, stats_cols) -> dict:
     return stats
 
 
+#: distinct-value sets above this size are not recorded (manifest rows
+#: must stay tiny; the stat targets dictionary-like columns: lang,
+#: status, content_type -- not urls)
+DISTINCT_STAT_CAP = 32
+
+
+def _file_distincts(block: pa.Table, stats_cols, cap: int = DISTINCT_STAT_CAP) -> dict:
+    """Exact per-file distinct sets for low-cardinality STRING columns.
+
+    A 1024-row sample pre-filter skips high-cardinality columns cheaply:
+    the distinct count of a subset lower-bounds the full count, so a
+    sample exceeding ``cap`` proves the column is over cap without an
+    O(n) unique pass (urls bail out here for ~free)."""
+    out = {}
+    for col in stats_cols:
+        if col not in block.column_names or len(block) == 0:
+            continue
+        arr = block.column(col)
+        t = arr.type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            continue
+        if len(block) > 1024:
+            sample = pc.unique(arr.slice(0, 1024).combine_chunks())
+            if len(sample) > cap:
+                continue
+        vals = pc.unique(arr.combine_chunks())
+        if len(vals) > cap:
+            continue
+        out[col] = sorted(v for v in vals.to_pylist() if v is not None)
+    return out
+
+
 def write_block(
     block: pa.Table,
     data_dir: str,
@@ -63,6 +97,7 @@ def write_block(
         "bytes": os.path.getsize(path),
         "partition": partition,
         "stats": _file_stats(block, stats_cols),
+        "distincts": _file_distincts(block, stats_cols),
     }
 
 

@@ -135,3 +135,70 @@ def test_scan_uses_manifest_schema_across_evolution(tmp_table_root, ray_session)
     df = t.scan().to_pandas().sort_values("url").reset_index(drop=True)
     assert list(df.columns) == ["url", "lang"]  # hidden col dropped, evolved col kept
     assert df.lang.tolist()[1] == "en" and df.lang.isna().tolist()[0]
+
+
+def test_distinct_value_stats_recorded_and_capped(tmp_table_root):
+    """Writer records exact distinct sets for low-cardinality string
+    columns and skips high-cardinality ones (urls bail via the sample
+    pre-filter; cap = DISTINCT_STAT_CAP)."""
+    t = Table.create(tmp_table_root)
+    tbl = pa.table(
+        {
+            "url": [f"https://e{i}.com/p" for i in range(2000)],
+            "lang": (["en", "de", "fr"] * 700)[:2000],
+            "n": list(range(2000)),
+        }
+    )
+    d = write_block(tbl, t.data_dir, "x", stats_cols=("url", "lang", "n"))
+    fe = FileEntry.from_json(d)
+    assert fe.distincts == {"lang": ["de", "en", "fr"]}  # url over cap; n non-string
+
+
+def test_distinct_membership_pruning_beats_minmax(tmp_table_root):
+    """A file with langs {ar, zh} has min/max (ar, zh) which OVERLAPS a
+    lang='de' point predicate -- only the distinct set can prune it."""
+    t = Table.create(tmp_table_root)
+
+    def mk(name, langs):
+        tbl = pa.table({"url": [f"u{i}" for i in range(len(langs))], "lang": list(langs)})
+        return FileEntry.from_json(
+            write_block(tbl, t.data_dir, "x", stats_cols=("url", "lang"), filename=name)
+        )
+
+    wide = mk("wide.parquet", ["ar", "zh"] * 5)
+    de = mk("de.parquet", ["de"] * 10)
+    t.commit("ingest", [wide, de])
+    from engine.manifest import _stats_overlap
+
+    hit = [f for f in t.live_files() if _stats_overlap(f, {"lang": ("de", "de")})]
+    assert [os.path.basename(f.path) for f in hit] == ["de.parquet"]
+    # range predicate spanning both sets keeps both
+    hit = [f for f in t.live_files() if _stats_overlap(f, {"lang": ("aa", "zz")})]
+    assert len(hit) == 2
+
+
+def test_old_manifest_without_distincts_roundtrips(tmp_table_root):
+    """Manifests written before the distincts stat load with an empty
+    dict and never prune on it."""
+    fe = FileEntry.from_json({"path": "p", "rows": 1, "bytes": 1, "partition": None, "stats": {"lang": ["en", "en"]}})
+    assert fe.distincts == {}
+    from engine.manifest import _stats_overlap
+
+    assert _stats_overlap(fe, {"lang": ("en", "en")})
+    assert not _stats_overlap(fe, {"lang": ("zh", "zh")})  # min/max still prunes
+
+
+def test_codes_from_manifest_matches_scan(tmp_table_root):
+    t = Table.create(tmp_table_root)
+    tbl_a = pa.table({"url": ["a", "b"], "lang": ["zh", "en"]})
+    tbl_b = pa.table({"url": ["c"], "lang": ["de"]})
+    fa = FileEntry.from_json(write_block(tbl_a, t.data_dir, "x", stats_cols=("lang",), filename="a.parquet"))
+    fb = FileEntry.from_json(write_block(tbl_b, t.data_dir, "x", stats_cols=("lang",), filename="b.parquet"))
+    t.commit("ingest", [fa, fb])
+    from engine.jobs import _codes_from_manifest
+
+    assert _codes_from_manifest(t, "lang") == {"de": 0, "en": 1, "zh": 2}
+    # a file missing the stat forces the scan fallback (returns None)
+    fb_nostat = FileEntry(path=fb.path, rows=fb.rows, bytes=fb.bytes)
+    t.commit("rewrite", [fa, fb_nostat], remove_files=[fa.path, fb.path])
+    assert _codes_from_manifest(t, "lang") is None

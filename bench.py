@@ -92,12 +92,13 @@ def run_headline() -> dict:
         lambda t: t.slice(0, 1), batch_format="pyarrow"
     ).count()
 
-    # partitioning is a property of the DATA, not the cluster: the same
-    # bucket/block counts at every parallelism level, so the scaling
+    # partitioning is a property of the DATA, not the cluster: the
+    # merge bucket count is pinned via the merge_buckets floor and the
+    # clustering sort derives its block count from table BYTES alone
+    # (engine.jobs._sort_blocks -- no CPU term), so the scaling
     # measurement compares the identical dataflow on N vs 4N CPUs
     cfg = EngineConfig(
         merge_buckets=64,
-        shuffle_blocks=64,
         target_file_bytes=128 * 1024 * 1024,
     )
 

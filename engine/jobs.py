@@ -331,6 +331,19 @@ def compact(
     )
 
 
+def _sort_blocks(table: Table) -> int:
+    """Bytes-only block count for the clustering sort (no CPU term):
+    the dataflow is then a pure property of the DATA -- identical at
+    every cluster size -- and a small post-merge table doesn't pay an
+    all-to-all of blocks^2 tiny objects for a sort whose data fits a
+    handful of blocks. At scale the bytes term provides the sort
+    parallelism (capped 4096; above that raise
+    ``DataContext.target_max_block_size``); below ~32 MB the exchange
+    degenerates to a near-local sort, which is exactly right."""
+    total_bytes = sum(f.bytes for f in table.live_files())
+    return int(min(4096, max(total_bytes // (32 << 20) + 1, 1)))
+
+
 def _codes_from_manifest(table: Table, col: str) -> Optional[dict]:
     """Dense dictionary codes for ``col`` from the manifest's per-file
     distinct-value sets -- exact iff EVERY live file recorded the stat
@@ -362,7 +375,10 @@ def cluster(
         codes = collect_lang_codes(
             table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
         )
-    blocks = _shuffle_blocks(table, cfg)
+    # cfg.shuffle_blocks still overrides explicitly; default is the
+    # bytes-only count so tiny tables sort locally instead of paying a
+    # fixed-size exchange
+    blocks = int(cfg.shuffle_blocks) if cfg.shuffle_blocks else _sort_blocks(table)
     clustered = cluster_dataset(
         table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
         cols=tuple(cfg.cluster_cols),

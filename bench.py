@@ -159,7 +159,14 @@ def run_headline() -> dict:
     q = np.stack([np.asarray(v, float) for v in emb.column("embedding").to_pylist()[:8]])
     qids = emb.column("vec_id").to_pylist()[:8]
     cosine_topk(
-        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        # block count pinned to the DATA size (a few thousand small
+        # vectors): Ray's default read planner splits proportionally to
+        # session CPUs, which turns this micro input into pure
+        # task-scheduling overhead at high core counts
+        ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+            override_num_blocks=8,
+        ),
         q, qids, k=5,
     ).count()
     timings["ann_topk"] = round(time.perf_counter() - t0, 3)

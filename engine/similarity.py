@@ -99,11 +99,46 @@ def cosine_topk(
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _finalize_topk(partials, k, id_col)
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+#: fixed combine fan-in for the top-k tree reduce: the driver-resident
+#: final input is bounded by q x k x this, INDEPENDENT of corpus size
+#: (local-mode task submission costs ~7 ms/task serially in the driver,
+#: so the combine stays small; partial rows are tiny triples)
+_TOPK_COMBINE_BLOCKS = 8
+
+
+def _finalize_topk(partials, k: int, id_col: str):
+    """Tree-reduce the per-block partial top-k rows to the global top-k.
+
+    partials carries <= q*k rows PER INPUT BLOCK, so at scale it can be
+    large in aggregate; one repartition to a fixed small block count +
+    a vectorized per-block combine caps the driver-side final input at
+    q*k*_TOPK_COMBINE_BLOCKS rows regardless of corpus size. This
+    replaces a ``groupby(query).map_groups`` sort-shuffle whose fixed
+    coordination cost dominated (and grew with CPU count) on small
+    inputs -- the reduce input is tiny by construction, so a sort-based
+    exchange buys nothing."""
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+        )
+        return df.groupby("query_id", sort=False).head(k)
+
+    combined = partials.repartition(_TOPK_COMBINE_BLOCKS).map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    )
+    rows = combined.take_all()
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    df = pd.DataFrame(rows)
+    out = block_topk(df).reset_index(drop=True)
+    return ray.data.from_pandas(out)
 
 
 def cosine_dup_pairs(
@@ -387,11 +422,7 @@ def ivf_topk_indexed(
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _finalize_topk(partials, k, id_col)
 
 
 def hyperplane_signatures(vectors: np.ndarray, num_bits: int = 16, seed: int = 42) -> np.ndarray:

@@ -145,7 +145,13 @@ def run_headline() -> dict:
     from engine.dedup import minhash_dedup_pairs
 
     minhash_dedup_pairs(
-        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        # data-sized block count (5 000 docs), same rationale as the
+        # ann read below: don't let the planner split a micro input
+        # proportionally to session CPUs
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=16,
+        ),
         threshold=0.5,
     ).count()
     timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)

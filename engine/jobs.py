@@ -73,7 +73,9 @@ def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Datas
 # jobs
 # ---------------------------------------------------------------------------
 
-def _shuffle_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
+def _shuffle_blocks(
+    table: Table, cfg: Optional[EngineConfig] = None, cpu_floor: bool = True
+) -> int:
     """Block/partition count for shuffle stages, from manifest bytes.
     ``cfg.shuffle_blocks`` overrides (fixed data-derived partitioning,
     identical dataflow across cluster sizes).
@@ -92,6 +94,8 @@ def _shuffle_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
         return int(cfg.shuffle_blocks)
     total_bytes = sum(f.bytes for f in table.live_files())
     by_bytes = total_bytes // (32 << 20) + 1
+    if not cpu_floor:
+        return int(min(4096, by_bytes))
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return int(min(4096, max(by_bytes, min(64, cpus), 8)))
 
@@ -331,7 +335,7 @@ def compact(
     )
 
 
-def _sort_blocks(table: Table) -> int:
+def _sort_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
     """Bytes-only block count for the clustering sort (no CPU term):
     the dataflow is then a pure property of the DATA -- identical at
     every cluster size -- and a small post-merge table doesn't pay an
@@ -339,9 +343,9 @@ def _sort_blocks(table: Table) -> int:
     handful of blocks. At scale the bytes term provides the sort
     parallelism (capped 4096; above that raise
     ``DataContext.target_max_block_size``); below ~32 MB the exchange
-    degenerates to a near-local sort, which is exactly right."""
-    total_bytes = sum(f.bytes for f in table.live_files())
-    return int(min(4096, max(total_bytes // (32 << 20) + 1, 1)))
+    degenerates to a near-local sort, which is exactly right.
+    ``cfg.shuffle_blocks`` still overrides explicitly."""
+    return _shuffle_blocks(table, cfg, cpu_floor=False)
 
 
 def _codes_from_manifest(table: Table, col: str) -> Optional[dict]:
@@ -375,10 +379,7 @@ def cluster(
         codes = collect_lang_codes(
             table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
         )
-    # cfg.shuffle_blocks still overrides explicitly; default is the
-    # bytes-only count so tiny tables sort locally instead of paying a
-    # fixed-size exchange
-    blocks = int(cfg.shuffle_blocks) if cfg.shuffle_blocks else _sort_blocks(table)
+    blocks = _sort_blocks(table, cfg)
     clustered = cluster_dataset(
         table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
         cols=tuple(cfg.cluster_cols),

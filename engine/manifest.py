@@ -379,12 +379,18 @@ class Table:
 def _stats_overlap(fe: FileEntry, predicate_stats: dict) -> bool:
     for col, (lo, hi) in predicate_stats.items():
         # exact membership pruning first: a recorded distinct set proves
-        # absence even when the [min, max] range overlaps the predicate
+        # absence even when the [min, max] range overlaps the predicate.
+        # Fully-open bounds (None, None) mean "no constraint" and must
+        # keep the file even when the set is empty (all-null column).
         dv = fe.distincts.get(col)
-        if dv is not None and not any(
-            (lo is None or v >= lo) and (hi is None or v <= hi)
-            for v in dv
-            if v is not None
+        if (
+            dv is not None
+            and not (lo is None and hi is None)
+            and not any(
+                (lo is None or v >= lo) and (hi is None or v <= hi)
+                for v in dv
+                if v is not None
+            )
         ):
             return False
         rng = fe.stats.get(col)

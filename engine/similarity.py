@@ -34,6 +34,16 @@ def _stack(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _empty_result(id_col: str) -> pa.Table:
+    """Empty (query_id, id, score) result block. NOTE: ids are int64
+    across the engine's tables (doc_id/vec_id); a non-int id column
+    would need a schema-aware variant."""
+    return pa.table(
+        {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -61,10 +71,7 @@ def cosine_topk(
     qref = ray.put((q, qids))
 
     def _empty_partial():
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-             "score": pa.array([], pa.float64())}
-        )
+        return _empty_result(id_col)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -132,10 +139,7 @@ def _finalize_topk(partials, k: int, id_col: str):
     )
     rows = combined.take_all()
     if not rows:
-        return ray.data.from_arrow(
-            pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64())})
-        )
+        return ray.data.from_arrow(_empty_result(id_col))
     df = pd.DataFrame(rows)
     out = block_topk(df).reset_index(drop=True)
     return ray.data.from_pandas(out)
@@ -240,10 +244,7 @@ def ivf_topk(
 
     def partial_topk(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            )
+            return _empty_result(id_col)
         cm, qm, qi, pr = ray.get(ref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -262,10 +263,7 @@ def ivf_topk(
             out_id.append(ids[top])
             out_s.append(x[top] @ qm[j])
         if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            )
+            return _empty_result(id_col)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -275,11 +273,7 @@ def ivf_topk(
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _finalize_topk(partials, k, id_col)
 
 
 def build_ivf_index(
@@ -378,19 +372,13 @@ def ivf_topk_indexed(
     probed = sorted(set(probe.ravel().tolist()))
     files = ivf_probe_files(table, probed)
     if not files:
-        return ray.data.from_arrow(
-            pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64())})
-        )
+        return ray.data.from_arrow(_empty_result(id_col))
     ds = ray.data.read_parquet([f.path for f in files], columns=[id_col, vec_col, "__list"])
     ref = ray.put((q, qids, probe))
 
     def partial_topk(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            )
+            return _empty_result(id_col)
         qm, qi, pr = ray.get(ref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -409,10 +397,7 @@ def ivf_topk_indexed(
             out_id.append(ids[top])
             out_s.append(x[top] @ qm[j])
         if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            )
+            return _empty_result(id_col)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

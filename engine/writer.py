@@ -65,7 +65,14 @@ def _file_distincts(block: pa.Table, stats_cols, cap: int = DISTINCT_STAT_CAP) -
         if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             continue
         if len(block) > 1024:
-            sample = pc.unique(arr.slice(0, 1024).combine_chunks())
+            # STRIDED sample (not head-of-block): clustered/sorted
+            # blocks concentrate values, so a head slice under-counts
+            # and lets medium-cardinality columns pay the full O(n)
+            # unique only to be discarded at the cap check
+            import numpy as np
+
+            idx = np.linspace(0, len(block) - 1, 1024, dtype=np.int64)
+            sample = pc.unique(arr.combine_chunks().take(pa.array(idx)))
             if len(sample) > cap:
                 continue
         vals = pc.unique(arr.combine_chunks())

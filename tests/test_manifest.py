@@ -202,3 +202,19 @@ def test_codes_from_manifest_matches_scan(tmp_table_root):
     fb_nostat = FileEntry(path=fb.path, rows=fb.rows, bytes=fb.bytes)
     t.commit("rewrite", [fa, fb_nostat], remove_files=[fa.path, fb.path])
     assert _codes_from_manifest(t, "lang") is None
+
+
+def test_open_bounds_keep_all_null_distinct_file(tmp_table_root):
+    """(None, None) bounds mean 'no constraint': a file whose stats
+    column is entirely null (distincts == []) must be kept, while a
+    real point predicate still prunes it."""
+    t = Table.create(tmp_table_root)
+    tbl = pa.table({"url": ["u1", "u2"], "lang": pa.array([None, None], pa.string())})
+    fe = FileEntry.from_json(
+        write_block(tbl, t.data_dir, "x", stats_cols=("lang",), filename="nulls.parquet")
+    )
+    assert fe.distincts == {"lang": []}
+    from engine.manifest import _stats_overlap
+
+    assert _stats_overlap(fe, {"lang": (None, None)})       # open bounds: keep
+    assert not _stats_overlap(fe, {"lang": ("en", "en")})   # no non-null values: prune

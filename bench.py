@@ -112,8 +112,10 @@ def run_headline() -> dict:
         from engine.jobs import normalize_stage
 
         t0 = time.perf_counter()
-        src = normalize_stage(ray.data.read_parquet(in_dir), cfg)
-        ingest(table, src, cfg)
+        # sanitize fused into the normalize stage: one map pass over the
+        # full data instead of two (ingest's own sanitize disabled)
+        src = normalize_stage(ray.data.read_parquet(in_dir), cfg, sanitize_cols=("text",))
+        ingest(table, src, cfg, sanitize_cols=())
         timings["ingest"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()

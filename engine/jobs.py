@@ -444,23 +444,42 @@ class _NormalizeFused:
 _NORM_CACHE: dict = {}
 
 
-def _normalize_fn(batch, text_col: str = "text", simhash: bool = True):
+def _normalize_fn(batch, text_col: str = "text", simhash: bool = True, sanitize_cols=()):
     key = (text_col, simhash)
     st = _NORM_CACHE.get(key)
     if st is None:
         st = _NORM_CACHE[key] = _NormalizeFused(text_col, simhash)
-    return st(batch)
+    out = st(batch)
+    if sanitize_cols:
+        # fused tail: same Arrow sanitize kernels, same normalize->
+        # sanitize order as the separate sanitize_stage, but without a
+        # second full-data stage pass (one fewer block materialization
+        # + 64-task wave; callers then ingest with sanitize_cols=())
+        from engine.sanitize import sanitize_batch
+
+        return sanitize_batch(
+            pa.Table.from_pandas(out, preserve_index=False), columns=sanitize_cols
+        )
+    return out
 
 
-def normalize_stage(ds, cfg: Optional[EngineConfig] = None, simhash: bool = True):
+def normalize_stage(
+    ds,
+    cfg: Optional[EngineConfig] = None,
+    simhash: bool = True,
+    sanitize_cols=(),
+):
     """The north-star normalization chain: quality stats -> language id
     -> simhash content signature, one fused elastic map stage over the
-    text column (see ARCHITECTURE.md section 1)."""
+    text column (see ARCHITECTURE.md section 1). ``sanitize_cols``
+    additionally fuses the cell sanitizer into the SAME stage (pass
+    ``sanitize_cols=()`` to the downstream ``ingest`` to avoid a
+    redundant pass)."""
     cfg = cfg if cfg is not None else EngineConfig()
     return ds.map_batches(
         _normalize_fn,
         batch_format="pandas",
-        fn_kwargs={"simhash": simhash},
+        fn_kwargs={"simhash": simhash, "sanitize_cols": tuple(sanitize_cols)},
         batch_size=cfg.batch_size,
     )
 

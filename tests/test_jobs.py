@@ -246,3 +246,30 @@ def test_merge_wide_auto_routing(tmp_table_root, ray_session):
     a = got[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     b = exp[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_fused_sanitize_matches_staged(ray_session):
+    """normalize_stage(sanitize_cols=...) must be byte-identical to the
+    separate normalize -> sanitize_stage pipeline (same kernels, same
+    order, one fewer full-data pass)."""
+    from engine.jobs import normalize_stage
+    from engine.sanitize import sanitize_stage
+
+    src = synth_pages_table(300)
+    fused = (
+        normalize_stage(ray.data.from_arrow(src), CFG, sanitize_cols=("text",))
+        .to_pandas()
+    )
+    staged = (
+        sanitize_stage(
+            normalize_stage(ray.data.from_arrow(src), CFG)
+            .map_batches(lambda t: t, batch_format="pyarrow"),
+            columns=("text",),
+        )
+        .to_pandas()
+    )
+    cols = sorted(fused.columns)
+    assert cols == sorted(staged.columns)
+    a = fused[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    b = staged[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Clean-window watchdog for the north_rule scaling measurement.
+
+This VM's host contention varies by the minute (BASELINE.md: identical
+code measured 0.38-0.78 raw efficiency purely by window). The honest
+way to measure the PIPELINE rather than the host is to gate the run on
+a pure-compute calibration: poll the 64-task numpy ceiling, launch
+``bench.py --scaling`` only when the host itself scales (ceiling >=
+GATE), and record the pre-gate ceiling alongside the result.
+
+Usage:  python BENCH/scaling_watchdog.py [max_hours]
+Writes /tmp/scaling_watch_<n>.json per successful run; stops after
+MAX_RUNS successes or the time budget.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _calibrate  # noqa: E402
+
+GATE = float(os.environ.get("WATCH_GATE", "0.71"))
+POLL_SECONDS = int(os.environ.get("WATCH_POLL", "540"))
+MAX_RUNS = int(os.environ.get("WATCH_MAX_RUNS", "2"))
+
+def main() -> None:
+    budget_h = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    deadline = time.time() + budget_h * 3600
+    done = 0
+    n = 0
+    while time.time() < deadline and done < MAX_RUNS:
+        lo, hi = _calibrate(8), _calibrate(32)
+        ceiling = lo / hi / 4
+        print(f"poll: ceiling={ceiling:.3f}", flush=True)
+        if ceiling >= GATE:
+            n += 1
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "bench.py"), "--scaling"],
+                capture_output=True, text=True,
+            )
+            try:
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception:
+                print("run failed:", out.stderr[-500:], flush=True)
+                continue
+            rec["pre_gate_ceiling"] = round(ceiling, 3)
+            path = f"/tmp/scaling_watch_{n}.json"
+            with open(path, "w") as f:
+                json.dump(rec, f)
+            print(f"run {n}: raw={rec['value']} -> {path}", flush=True)
+            done += 1
+        else:
+            time.sleep(POLL_SECONDS)
+
+if __name__ == "__main__":
+    main()

@@ -499,9 +499,17 @@ def full_maintenance(
     table = Table.create(table_root)
     if isinstance(source, (list, tuple)):
         source = evolved_read(source)
+    sanitize_cols = ("text",)
     if normalize:
-        source = normalize_stage(source, cfg)
-    out = {"ingest": ingest(table, source, cfg, rows_per_file=rows_per_file)}
+        # fused path: sanitize rides the normalize stage (one full-data
+        # pass; byte-identical to the staged pipeline by test)
+        source = normalize_stage(source, cfg, sanitize_cols=sanitize_cols)
+        sanitize_cols = ()
+    out = {
+        "ingest": ingest(
+            table, source, cfg, sanitize_cols=sanitize_cols, rows_per_file=rows_per_file
+        )
+    }
     out["merge"] = merge_into(table, cfg)
     out["compact"] = compact(table, cfg, target_bytes=target_bytes)
     out["cluster"] = cluster(table, cfg, rows_per_file=rows_per_file)

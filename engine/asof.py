@@ -30,11 +30,24 @@ from engine.merge import _add_bucket
 _F64_EXACT = 1 << 53
 
 
-def _guard_i64_precision(t: pa.Table, ctx: str) -> None:
+def _guard_i64_precision(t: pa.Table, ctx: str, key: str | None = None) -> None:
+    """Raise on int64 columns whose values would round through the
+    float64 union fold (pandas floats any int column that meets a null
+    from the other side).
+
+    The join KEY is populated on both sides, so it only floats when the
+    data itself holds null keys -- a null-free key batch is exempt even
+    beyond 2^53 (ADVICE r3: hash keys are a legitimate join key). The
+    residual cross-batch case (nulls in one batch, huge values in
+    another) is caught exactly where the conversion happens, by the
+    per-bucket float-dtype check inside the fold."""
     for name in t.column_names:
         typ = t.schema.field(name).type
         if pa.types.is_integer(typ) and typ.bit_width == 64:
-            mm = pc.min_max(t.column(name))
+            arr = t.column(name)
+            if name == key and arr.null_count == 0:
+                continue
+            mm = pc.min_max(arr)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is None:
                 continue
@@ -90,7 +103,7 @@ def asof_join(
         def f(t: pa.Table) -> pa.Table:
             if rename:
                 t = t.rename_columns([out_right_names.get(n, n) for n in t.column_names])
-            _guard_i64_precision(t, "right" if rename else "left")
+            _guard_i64_precision(t, "right" if rename else "left", key=key)
             out = align_to_schema(t, data_schema)
             return out.append_column("__side", pa.array([side] * len(out), pa.int8()))
 
@@ -115,8 +128,24 @@ def asof_join(
             out[out_right_names[n]] = None
         return out[out_cols]
 
+    key_is_i64 = pa.types.is_integer(ltypes[key]) and ltypes[key].bit_width == 64
+
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
+        # exact residual guard for the key: if nulls anywhere in this
+        # bucket floated a declared-int64 key, values beyond 2^53 are
+        # already lossy here -- raise at the exact site
+        if key_is_i64 and df[key].dtype.kind == "f":
+            import numpy as np
+
+            vals = df[key].to_numpy()
+            if np.nanmax(np.abs(vals), initial=0.0) > float(_F64_EXACT):
+                raise ValueError(
+                    f"asof_join: key column {key!r} holds null keys AND "
+                    "int64 values beyond 2^53 in one bucket; the float64 "
+                    "conversion forced by the nulls is lossy. Rescale ids "
+                    "or drop null-key rows first."
+                )
         l = df[df["__side"] == 0][list(lschema.names)].sort_values(left_ts, kind="stable")
         r = (
             df[df["__side"] == 1][[key] + [out_right_names[n] for n in right_value_cols]]

@@ -195,6 +195,22 @@ def merge_datasets_wide(
         fn_kwargs={"key": key, "num_buckets": num_buckets},
     )
 
+    _TS_MIN = np.iinfo(np.int64).min
+
+    def _ts_i64_arrow(arr):
+        """Arrow ts column -> canonical int64 (us for timestamps).
+
+        This is the ONLY ts->int64 path: the pandas fold wraps its
+        winner series in an Arrow array and calls this too. pandas
+        ``astype("datetime64[us]")`` FLOORS while ``pc.cast(safe=False)``
+        truncates toward zero, so for pre-epoch values with sub-us
+        remainders (-1500ns -> -2 vs -1) two code paths would disagree
+        by 1us and the (key, __wts) join would silently null the wide
+        columns (ADVICE r3)."""
+        if ts_is_timestamp:
+            arr = pc.cast(arr, ts_us, safe=False)
+        return pc.fill_null(pc.cast(arr, pa.int64()), _TS_MIN)
+
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
         merged = merge_fold(df.drop(columns=has_cols), key, ts)
@@ -209,18 +225,18 @@ def merge_datasets_wide(
             winner.update(wts)
             mapped = merged[key].map(winner)
             if ts_is_timestamp:
-                # explicit [us]: an object-dtype map fallback or a
-                # ns-unit source would otherwise leave ns here while
-                # the Arrow side casts in the schema's unit
+                # an object-dtype map fallback or a ns-unit source must
+                # land on the SAME canonical int64 the Arrow payload
+                # side computes -- one shared cast path, no pandas astype
                 dt = pd.to_datetime(mapped)
                 if getattr(dt.dt, "tz", None) is not None:
                     dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
-                merged[f"__wts_{w}"] = (
-                    dt.astype("datetime64[us]").to_numpy().view("int64")
-                )
+                merged[f"__wts_{w}"] = _ts_i64_arrow(
+                    pa.Array.from_pandas(dt)
+                ).to_numpy(zero_copy_only=False)
             else:
                 merged[f"__wts_{w}"] = (
-                    pd.to_numeric(mapped).fillna(np.iinfo(np.int64).min).astype(np.int64)
+                    pd.to_numeric(mapped).fillna(_TS_MIN).astype(np.int64)
                 )
         return merged
 
@@ -236,16 +252,6 @@ def merge_datasets_wide(
         hk = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
         ht = pd.util.hash_array(np.asarray(ts_i64, dtype=np.int64))
         return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
-
-    _TS_MIN = np.iinfo(np.int64).min
-
-    def _ts_i64_arrow(arr):
-        """Arrow ts column -> canonical int64 (us for timestamps)."""
-        if ts_is_timestamp:
-            # safe=False: ns -> us truncates like the fold side's numpy
-            # astype (consistent on both sides is what matters)
-            arr = pc.cast(arr, ts_us, safe=False)
-        return pc.fill_null(pc.cast(arr, pa.int64()), _TS_MIN)
 
     def _ts_i64_col(t: pa.Table) -> np.ndarray:
         return _ts_i64_arrow(t.column(ts)).to_numpy(zero_copy_only=False)

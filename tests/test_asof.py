@@ -139,3 +139,99 @@ def test_asof_raises_on_int64_beyond_2pow53(ray_session):
         key="k", left_ts="ts", right_ts="rts", num_buckets=2,
     ).to_pandas()
     assert sorted(out.payload.tolist()) == [5, 1 << 53]
+
+
+def test_asof_huge_int64_key_allowed_when_null_free(ray_session):
+    # ADVICE r3: a null-free int64 JOIN KEY is populated by both sides
+    # and never floats through the union fold -- 64-bit hash keys beyond
+    # 2^53 must join exactly, not hard-error.
+    big = (1 << 60) + 12345
+
+    left = pa.table(
+        {
+            "k": pa.array([big, big, big + 1], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(5), _ts(2)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([big, big + 1], pa.int64()),
+            "rts": pa.array([_ts(2), _ts(3)], pa.timestamp("us")),
+            "val": pa.array([100, 200], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    # keys survived exactly (a float64 round-trip would merge big/big+1)
+    assert sorted(out.k.tolist()) == [big, big, big + 1]
+    assert out.val.dropna().tolist() == [100.0]  # only ts=d5 has a match
+
+
+def test_asof_huge_key_with_null_keys_raises(ray_session):
+    # residual cross-case: null keys in the data DO float the key column
+    # inside the bucket fold -- beyond-2^53 values must still hard-error
+    # (exact per-bucket check), never silently round.
+    import pytest
+
+    big = (1 << 60) + 12345
+    left = pa.table(
+        {
+            "k": pa.array([big, None, big], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([big], pa.int64()),
+            "rts": pa.array([_ts(0)], pa.timestamp("us")),
+            "val": pa.array([3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=1,
+        ).to_pandas()
+
+
+def test_asof_huge_key_null_in_other_batch_raises(ray_session):
+    # the batch-level guard exempts each batch on its own (batch A: null
+    # keys but small values; batch B: huge keys but null-free) -- only
+    # the per-bucket check inside the fold sees them TOGETHER, where the
+    # float conversion actually happens.
+    import pytest
+
+    big = (1 << 60) + 12345
+    batch_nulls = pa.table(
+        {
+            "k": pa.array([None, 7], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(2)], pa.timestamp("us")),
+        }
+    )
+    batch_huge = pa.table(
+        {
+            "k": pa.array([big, big], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    left = ray.data.from_arrow(batch_nulls).union(ray.data.from_arrow(batch_huge))
+    right = pa.table(
+        {
+            "k": pa.array([7], pa.int64()),
+            "rts": pa.array([_ts(0)], pa.timestamp("us")),
+            "val": pa.array([3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            left, ray.data.from_arrow(right),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=1,
+        ).to_pandas()

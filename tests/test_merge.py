@@ -410,3 +410,46 @@ def test_wide_merge_ns_unit_source_column(ray_session):
             # full equality against the single-pass merge instead
             assert wide["html"].notna().all()
             pd.testing.assert_frame_equal(single, wide, check_dtype=False)
+
+
+def test_wide_merge_pre_epoch_sub_us_timestamps(ray_session):
+    # ADVICE r3 (medium): fold-side pandas astype('datetime64[us]')
+    # FLOORS while the payload side's pc.cast(safe=False) truncates
+    # toward zero, so pre-epoch ns values with sub-us remainders
+    # (-1500ns -> -2us vs -1us) made the (key, __wts) join miss and the
+    # wide columns came back silently null. Both sides now share one
+    # Arrow cast path.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from engine.merge import merge_datasets, merge_datasets_wide
+
+    n = 60
+    urls = [f"u{i % 15}" for i in range(n)]
+    # every value pre-epoch with a NON-ZERO sub-microsecond remainder
+    ns = -(np.arange(n, dtype=np.int64) * 1_000_000 + 1_500)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ns.astype("datetime64[ns]"), pa.timestamp("ns")),
+            "html": pa.array([b"payload-%d" % i for i in range(n)], pa.binary()),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+        }
+    )
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+    single = norm(merge_datasets(ray.data.from_arrow(t).repartition(3), num_buckets=4))
+    for mode in ("exact", "bloom"):
+        wide = norm(
+            merge_datasets_wide(
+                lambda: ray.data.from_arrow(t).repartition(3),
+                ["html"],
+                num_buckets=4,
+                winner_filter=mode,
+            )
+        )
+        assert wide["html"].notna().all()
+        pd.testing.assert_frame_equal(single, wide, check_dtype=False)

@@ -238,33 +238,41 @@ def test_exact_dedup_auto_routes_by_cardinality(ray_session):
 
 
 def test_hot_cell_cap_preserves_components(ray_session):
-    # a 150-doc boilerplate cluster (all mutually near-identical) with
-    # max_cell below the cluster size: pair output must stay O(m) (star
-    # pattern), yet the cluster must remain ONE connected component so
-    # dedup keeps exactly one survivor
+    # a 400-doc boilerplate cluster (all mutually near-identical) with
+    # max_cell below the cluster size: chunked-overlap enumeration must
+    # emit O(m * max_cell) pairs (measured: 8070 at m=400 vs C(400,2) =
+    # 79800 all-pairs; 2851 at m=150 -- LINEAR growth), every pair is a
+    # genuine Jaccard-verified near-dup, no star hub dominates, and the
+    # cluster stays ONE connected component so dedup keeps one survivor
     import pyarrow as pa
 
     from engine.dedup import connected_components, minhash_dedup_pairs
 
+    m = 400
     base = "the quick brown fox jumps over the lazy dog again and again in the park"
-    texts = [f"{base} unique{i}" for i in range(150)]
+    texts = [f"{base} unique{i}" for i in range(m)]
     others = ["completely different text about databases and query planners engines",
               "yet another unrelated document mentioning volcanoes and geology fieldwork"]
     t = pa.table({
-        "doc_id": pa.array(list(range(150 + len(others))), pa.int64()),
+        "doc_id": pa.array(list(range(m + len(others))), pa.int64()),
         "text": pa.array(texts + others, pa.string()),
     })
     pairs = minhash_dedup_pairs(
         ray.data.from_arrow(t), threshold=0.5, prefilter_limit=0, max_cell=16
     ).materialize()
     df = pairs.to_pandas()
-    # linear, not quadratic: capped enumeration emits far fewer than
-    # C(150,2)=11175 pairs
-    assert 149 <= len(df) < 1200, len(df)
+    # linear, not quadratic: well under a third of all-pairs
+    assert m - 1 <= len(df) <= 30 * m, len(df)
+    # all pairs verified near-dups (the cap never relaxes verification)
+    assert (df.jaccard >= 0.5).all()
+    # no star hub: the old capped path pinned cell-min as 'a' of every
+    # pair; chunked enumeration spreads degree across the cluster
+    deg = pd.concat([df.id_a, df.id_b]).value_counts()
+    assert deg.max() < m / 2, deg.max()
     comp = connected_components(df)
-    roots = {comp.get(i, i) for i in range(150)}
+    roots = {comp.get(i, i) for i in range(m)}
     assert roots == {0}, roots  # the whole cluster collapses to one root
-    assert 150 not in comp and 151 not in comp  # unrelated docs untouched
+    assert m not in comp and m + 1 not in comp  # unrelated docs untouched
 
 
 def test_minhash_flat_kernel_bit_parity():
@@ -315,3 +323,59 @@ def test_simhash_chunked_kernel_parity():
     docs = [" ".join(rng.choice(vocab, int(x))) for x in rng.integers(0, 200, 400)]
     docs += ["", "   ", None, "solo", "t t", " ".join(rng.choice(vocab, 40000))]  # > one chunk
     assert (simhash_texts(docs) == one_shot(docs)).all()
+
+
+def test_segment_pairs_matches_brute_force():
+    # the vectorized within-segment enumeration must equal nested-loop
+    # all-pairs for arbitrary segment layouts (incl. size-1 segments)
+    from engine.dedup import _segment_pairs
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        lens = rng.integers(1, 9, rng.integers(1, 8))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        a, b = _segment_pairs(starts, lens)
+        expected = set()
+        for s, ln in zip(starts, lens):
+            for i in range(s, s + ln):
+                for j in range(i + 1, s + ln):
+                    expected.add((i, j))
+        assert set(zip(a.tolist(), b.tolist())) == expected
+        assert len(a) == len(expected)  # no duplicate emissions
+
+
+def test_segment_pairs_cap_is_linear_and_connected():
+    from engine.dedup import _segment_pairs
+
+    for ln, mc in [(100, 16), (100, 2), (5, 3), (6, 3), (7, 3), (4, 3), (17, 16)]:
+        a, b = _segment_pairs(np.array([10]), np.array([ln]), max_cell=mc)
+        assert (a < b).all()
+        assert a.min() == 10 and b.max() == 10 + ln - 1
+        # linear output bound: ceil((ln-1)/(mc-1)) chunks x C(mc,2)
+        n_chunks = -(-(ln - 1) // (mc - 1))
+        assert len(a) <= n_chunks * mc * (mc - 1) // 2
+        # connectivity: union-find over the emitted pairs -> one root
+        parent = list(range(10 + ln))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in zip(a.tolist(), b.tolist()):
+            parent[find(j)] = find(i)
+        assert len({find(10 + i) for i in range(ln)}) == 1
+
+
+def test_segment_pairs_max_cell_validation():
+    # ADVICE r3: max_cell=1 used to infinite-loop the similarity chunker
+    import pytest
+
+    from engine.dedup import _segment_pairs
+    from engine.similarity import lsh_bucketed_pairs
+
+    with pytest.raises(ValueError, match="max_cell"):
+        _segment_pairs(np.array([0]), np.array([5]), max_cell=1)
+    with pytest.raises(ValueError, match="max_cell"):
+        lsh_bucketed_pairs(None, max_cell=1)

@@ -217,3 +217,119 @@ def test_embed_dup_pairs_auto_routes(ray_session):
     got_b = {tuple(p) for p in pairs_b.to_pandas()[["id_a", "id_b"]].itertuples(index=False)}
     got_l = {tuple(p) for p in pairs_l.to_pandas()[["id_a", "id_b"]].itertuples(index=False)}
     assert {(0, 1), (10, 11)} <= got_l <= got_b  # lsh recall <= exact
+
+
+def test_ivf_train_sample_is_strided_not_head_biased(ray_session):
+    # round-3 VERDICT #6: ds.limit() trains on the FIRST blocks; on a
+    # sorted/clustered table (what this engine produces) that sample
+    # sees one key range only and k-means list balance degrades. The
+    # strided sampler must span the whole table.
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.similarity import (
+        _normalize,
+        _train_sample_vectors,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 4000, 16
+    a_base = rng.standard_normal(d)
+    b_base = -a_base  # opposite pole: maximally separated clusters
+    half = n // 2
+    vecs = np.concatenate(
+        [
+            a_base + 0.05 * rng.standard_normal((half, d)),
+            b_base + 0.05 * rng.standard_normal((half, d)),
+        ]
+    )  # SORTED: cluster A occupies the leading blocks
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    sample = _train_sample_vectors(ds, 512, "embedding")
+    # the sample must cover BOTH halves (a head sample has zero B rows)
+    sims_a = _normalize(sample) @ _normalize(a_base[None, :])[0]
+    n_a, n_b = int((sims_a > 0).sum()), int((sims_a < 0).sum())
+    assert len(sample) <= 600
+    assert min(n_a, n_b) >= 0.25 * len(sample), (n_a, n_b)
+
+    # list balance end-to-end: no single list swallows a cluster
+    c = train_centroids(sample, n_centroids=8)
+    assign = (_normalize(vecs) @ c.T).argmax(axis=1)
+    counts = np.bincount(assign, minlength=8)
+    assert counts.max() < 0.4 * n, counts.tolist()
+    # both clusters occupy centroids (a head-trained codebook funnels
+    # the unseen cluster into one residual list)
+    lists_a = set(assign[:half].tolist())
+    lists_b = set(assign[half:].tolist())
+    assert len(lists_a) >= 2 and len(lists_b) >= 2, (lists_a, lists_b)
+
+
+def test_ivf_indexed_full_probe_equals_brute(ray_session, tmp_path):
+    # the ivf_topk driver oracle's load-bearing property: at nprobe =
+    # n_centroids every list is probed and the indexed IVF dataflow
+    # must equal brute-force top-k EXACTLY (rows, order semantics, tie
+    # break by vec_id)
+    from engine.similarity import build_ivf_index, ivf_topk_indexed
+
+    t, m = _emb_table(400)
+    q_ids = [0, 10, 50]
+    q = m[q_ids]
+    table, _ = build_ivf_index(
+        ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=8, rows_per_file=50
+    )
+    full = ivf_topk_indexed(table, q, q_ids, k=5, nprobe=8).to_pandas()
+    brute = cosine_topk(ray.data.from_arrow(t), q, q_ids, k=5).to_pandas()
+    key = ["query_id", "vec_id"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True)[key],
+        brute.sort_values(key).reset_index(drop=True)[key],
+    )
+
+
+def test_axis_signature_matches_sql_semantics(ray_session):
+    # the lsh_embed_pairs oracle recomputes the signature in SQL as
+    # sign bits of the leading components; the kernel must agree, and
+    # the axes-plane pair set must be exactly (same cell) AND (cosine
+    # >= threshold)
+    import numpy as np
+
+    from engine.similarity import _normalize, axis_signatures, lsh_bucketed_pairs
+
+    t, m = _emb_table(300)
+    bits = 6
+    sig = axis_signatures(_normalize(m), bits)
+    expect_sig = sum(
+        (m[:, i] > 0).astype(np.uint64) << np.uint64(i) for i in range(bits)
+    )
+    assert (sig == expect_sig).all()  # normalization never flips a sign
+
+    got = (
+        lsh_bucketed_pairs(
+            ray.data.from_arrow(t), threshold=0.35, num_bits=bits, planes="axes"
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    x = _normalize(m)
+    sims = x @ x.T
+    ii, jj = np.nonzero(np.triu((sims >= 0.35), k=1))
+    same_cell = expect_sig[ii] == expect_sig[jj]
+    expected = set(zip(ii[same_cell].tolist(), jj[same_cell].tolist()))
+    assert set(zip(got.id_a.tolist(), got.id_b.tolist())) == expected
+    # pairs emitted are a SUBSET of brute-force near-dups (precision 1)
+    brute = set(zip(ii.tolist(), jj.tolist()))
+    assert set(zip(got.id_a.tolist(), got.id_b.tolist())) <= brute
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        axis_signatures(np.zeros((3, 4)), num_bits=6)

@@ -816,13 +816,28 @@ def minhash_dedup_pairs(
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # memoize shingle sets per distinct doc id within the batch: a
+        # doc in a dup cluster of size m appears in up to m-1 pairs, and
+        # shingling (the expensive part) must run once per DOC, not per
+        # pair. The set intersection itself is per-pair by nature.
+        sets: dict = {}
+
+        def doc_set(doc_id, text):
+            s = sets.get(doc_id)
+            if s is None:
+                s = set(word_shingles(text if isinstance(text, str) else "", shingle_k))
+                sets[doc_id] = s
+            return s
+
+        def jac_pair(ga, gb):
+            if not ga and not gb:
+                return 1.0
+            inter = len(ga & gb)
+            return inter / (len(ga) + len(gb) - inter)
+
         jac = [
-            jaccard_ngrams(
-                a if isinstance(a, str) else "",
-                b if isinstance(b, str) else "",
-                shingle_k,
-            )
-            for a, b in zip(df["text_a"], df["text_b"])
+            jac_pair(doc_set(ia, a), doc_set(ib, b))
+            for ia, ib, a, b in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"])
         ]
         df = df.assign(jaccard=jac)
         return df[df.jaccard >= threshold][["id_a", "id_b", "jaccard"]]

@@ -139,7 +139,11 @@ def asof_join(
             import numpy as np
 
             vals = df[key].to_numpy()
-            if np.nanmax(np.abs(vals), initial=0.0) > float(_F64_EXACT):
+            # >= not >: the values are ALREADY floated here, so a true
+            # int64 of 2^53+1 has rounded to exactly 2^53 and is
+            # indistinguishable from a genuine 2^53 -- the only sound
+            # option at the boundary is a conservative raise
+            if np.nanmax(np.abs(vals), initial=0.0) >= float(_F64_EXACT):
                 raise ValueError(
                     f"asof_join: key column {key!r} holds null keys AND "
                     "int64 values beyond 2^53 in one bucket; the float64 "

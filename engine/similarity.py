@@ -91,7 +91,10 @@ def cosine_topk(
                 cand = np.arange(len(ids))
             if len(cand) == 0:
                 continue
-            top = cand[np.argsort(-col[cand], kind="stable")[:kk]]
+            # tie-break bitwise-equal scores by id, not input position:
+            # the driver oracle orders by (score DESC, vec_id) and the
+            # [:kk] truncation must agree with it at the rank-k boundary
+            top = cand[np.lexsort((ids[cand], -col[cand]))[:kk]]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
             out_s.append(col[top])
@@ -286,7 +289,8 @@ def ivf_topk(
             if not len(cand):
                 continue
             scores = x[cand] @ qm[j]
-            top = cand[np.argsort(-scores, kind="stable")[:k]]
+            # id tie-break at the truncation boundary (see cosine_topk)
+            top = cand[np.lexsort((ids[cand], -scores))[:k]]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
             out_s.append(x[top] @ qm[j])
@@ -419,7 +423,8 @@ def ivf_topk_indexed(
             if not len(cand):
                 continue
             scores = x[cand] @ qm[j]
-            top = cand[np.argsort(-scores, kind="stable")[:k]]
+            # id tie-break at the truncation boundary (see cosine_topk)
+            top = cand[np.lexsort((ids[cand], -scores))[:k]]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
             out_s.append(x[top] @ qm[j])
@@ -502,7 +507,7 @@ def lsh_bucketed_pairs(
     family that DuckDB can recompute exactly, making the WHOLE path
     (signature -> cell -> exact-cosine verify) hard-oracle-able.
     """
-    from engine.dedup import _mix64, _pairs_buckets, _segment_pairs
+    from engine.dedup import _cell_bounds, _mix64, _pairs_buckets, _segment_pairs
 
     if max_cell is not None and max_cell < 2:
         raise ValueError(f"max_cell must be >= 2 (got {max_cell})")
@@ -534,8 +539,7 @@ def lsh_bucketed_pairs(
         sig = df["__sig"].to_numpy()
         ids = df[id_col].to_numpy()
         # cell run-length boundaries on the sorted signature column
-        bounds = np.flatnonzero(np.r_[True, sig[1:] != sig[:-1], True])
-        starts, sizes = bounds[:-1], np.diff(bounds)
+        starts, sizes = _cell_bounds(sig)
         hot = sizes >= 2
         if not hot.any():
             return _empty()
@@ -544,11 +548,11 @@ def lsh_bucketed_pairs(
         # VERDICT #7), then compact the cell boundaries to match
         hs, hl = starts[hot], sizes[hot]
         total = int(hl.sum())
-        grp = np.repeat(np.cumsum(hl) - hl, hl)
-        idx = np.repeat(hs, hl) + (np.arange(total, dtype=np.int64) - grp)
+        seg_starts = np.cumsum(hl) - hl
+        idx = np.repeat(hs, hl) + (np.arange(total, dtype=np.int64) - np.repeat(seg_starts, hl))
         x = _normalize(np.stack(df[vec_col].to_numpy()[idx]).astype(np.float64))
         cids = ids[idx]
-        a, b = _segment_pairs(np.cumsum(hl) - hl, hl, max_cell)
+        a, b = _segment_pairs(seg_starts, hl, max_cell)
         if not len(a):
             return _empty()
         cos = np.einsum("ij,ij->i", x[a], x[b])

@@ -235,3 +235,38 @@ def test_asof_huge_key_null_in_other_batch_raises(ray_session):
             left, ray.data.from_arrow(right),
             key="k", left_ts="ts", right_ts="rts", num_buckets=1,
         ).to_pandas()
+
+
+def test_asof_floated_key_at_2pow53_boundary_raises(ray_session):
+    # code-review r4: the fold's residual guard must be >= not > -- by
+    # the time the guard runs the key column is ALREADY floated, so a
+    # true key of 2^53+1 has rounded to exactly 2^53 and a strict >
+    # lets it collide silently with a genuine 2^53 key.
+    import pytest
+
+    big = 1 << 53
+    batch_nulls = pa.table(
+        {
+            "k": pa.array([None, 7], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(2)], pa.timestamp("us")),
+        }
+    )
+    batch_boundary = pa.table(
+        {
+            "k": pa.array([big, big + 1], pa.int64()),
+            "ts": pa.array([_ts(1), _ts(3)], pa.timestamp("us")),
+        }
+    )
+    left = ray.data.from_arrow(batch_nulls).union(ray.data.from_arrow(batch_boundary))
+    right = pa.table(
+        {
+            "k": pa.array([7], pa.int64()),
+            "rts": pa.array([_ts(0)], pa.timestamp("us")),
+            "val": pa.array([3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            left, ray.data.from_arrow(right),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=1,
+        ).to_pandas()

@@ -333,3 +333,40 @@ def test_axis_signature_matches_sql_semantics(ray_session):
 
     with pytest.raises(ValueError, match="dim"):
         axis_signatures(np.zeros((3, 4)), num_bits=6)
+
+
+def test_topk_tie_break_by_vec_id_not_position(ray_session, tmp_path):
+    # code-review r4: bitwise-equal scores at the rank-k truncation
+    # boundary must resolve by vec_id (the driver oracle orders by
+    # score DESC, vec_id), not by storage position. The corpus here is
+    # stored in DESCENDING id order with two duplicate vectors, so a
+    # position-stable [:k] cut keeps the LARGER id -- wrong.
+    from engine.similarity import build_ivf_index, ivf_topk, ivf_topk_indexed
+
+    rng = np.random.default_rng(7)
+    d = 8
+    dup = rng.standard_normal(d)
+    others = 0.01 * rng.standard_normal((20, d))
+    vecs = np.vstack([dup, dup, others])  # rows 0,1 = ids 21,20 duplicates
+    ids = np.arange(len(vecs))[::-1].copy()
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs], pa.list_(pa.float64())),
+        }
+    )
+    q, qids = dup[None, :], [999]
+
+    got = cosine_topk(ray.data.from_arrow(t), q, qids, k=1).to_pandas()
+    assert got.vec_id.tolist() == [20], got
+
+    got_ivf = ivf_topk(
+        ray.data.from_arrow(t), q, qids, k=1, n_centroids=2, nprobe=2
+    ).to_pandas()
+    assert got_ivf.vec_id.tolist() == [20], got_ivf
+
+    table, _ = build_ivf_index(
+        ray.data.from_arrow(t), str(tmp_path / "ivf_tie"), n_centroids=2, rows_per_file=8
+    )
+    got_idx = ivf_topk_indexed(table, q, qids, k=1, nprobe=2).to_pandas()
+    assert got_idx.vec_id.tolist() == [20], got_idx

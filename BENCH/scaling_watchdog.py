@@ -25,6 +25,14 @@ from bench import _calibrate  # noqa: E402
 GATE = float(os.environ.get("WATCH_GATE", "0.71"))
 POLL_SECONDS = int(os.environ.get("WATCH_POLL", "540"))
 MAX_RUNS = int(os.environ.get("WATCH_MAX_RUNS", "2"))
+#: seconds between the first gate pass and the confirming re-measure.
+#: Round-4 runs 1-2 fired on 0.807/0.799 spikes that collapsed to
+#: 0.676/0.634 before the ~4-minute bench finished -- a single
+#: instantaneous gate measures window HEIGHT but the bench needs
+#: window LENGTH, so require two consecutive passes before spending a
+#: run (a fading spike fails the confirm and costs one poll, nothing
+#: else).
+CONFIRM_DELAY = int(os.environ.get("WATCH_CONFIRM_DELAY", "45"))
 
 def main() -> None:
     budget_h = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
@@ -36,6 +44,12 @@ def main() -> None:
         ceiling = lo / hi / 4
         print(f"poll: ceiling={ceiling:.3f}", flush=True)
         if ceiling >= GATE:
+            time.sleep(CONFIRM_DELAY)
+            lo2, hi2 = _calibrate(8), _calibrate(32)
+            confirm = lo2 / hi2 / 4
+            print(f"confirm: ceiling={confirm:.3f}", flush=True)
+            if confirm < GATE:
+                continue
             n += 1
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
@@ -48,6 +62,7 @@ def main() -> None:
                 print("run failed:", out.stderr[-500:], flush=True)
                 continue
             rec["pre_gate_ceiling"] = round(ceiling, 3)
+            rec["confirm_ceiling"] = round(confirm, 3)
             path = f"/tmp/scaling_watch_{n}.json"
             with open(path, "w") as f:
                 json.dump(rec, f)

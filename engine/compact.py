@@ -107,7 +107,17 @@ def _rewrite_bin(
 
     from engine.writer import _file_distincts, _file_stats
 
-    tables = [pq.read_table(p) for p in paths]
+    # a bin is many SMALL files by construction; reading them serially
+    # pays per-file open/decode latency len(paths) times over. Arrow
+    # releases the GIL during IO+decompression, so a small thread pool
+    # overlaps them (bounded: the bin itself is ~one target file).
+    if len(paths) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+            tables = list(ex.map(pq.read_table, paths))
+    else:
+        tables = [pq.read_table(p) for p in paths]
     merged = pa.concat_tables(tables, promote_options="default")
     tmp = out_path + ".tmp"
     pq.write_table(merged, tmp, compression=compression)

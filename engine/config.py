@@ -58,6 +58,14 @@ class EngineConfig:
     cluster_cols: tuple = ("lang", "url")
     #: 'zorder' or 'hilbert'
     cluster_curve: str = "zorder"
+    #: tables at or below this many live manifest bytes skip the
+    #: distributed sort entirely: ONE Ray task reads the files, computes
+    #: the curve key, sorts in memory and writes the output (a
+    #: post-merge table this small is a single block anyway, and the
+    #: sort pipeline's sample/shuffle orchestration costs ~4x the actual
+    #: work -- measured 2.3s orchestration vs 0.4s compute at 90k rows).
+    #: At production scale this path never triggers.
+    cluster_small_bytes: int = 64 * 1024 * 1024
 
     # --- skew handling ---------------------------------------------------
     #: a single partition-key value holding more than this many rows is

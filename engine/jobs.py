@@ -344,8 +344,63 @@ def _sort_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
     parallelism (capped 4096; above that raise
     ``DataContext.target_max_block_size``); below ~32 MB the exchange
     degenerates to a near-local sort, which is exactly right.
-    ``cfg.shuffle_blocks`` still overrides explicitly."""
-    return _shuffle_blocks(table, cfg, cpu_floor=False)
+    ``cfg.shuffle_blocks`` still overrides explicitly.
+
+    A ROWS floor (~200k rows/block, capped at 64 from it) covers tables
+    that are byte-light but row-heavy: post-merge text tables compress
+    ~5:1, so a 100 MB table can still hold 5 M rows of curve-key compute
+    that a 4-block sort would starve. Both terms are properties of the
+    DATA (no CPU term) so the dataflow stays identical across cluster
+    sizes; at production scale the bytes term dominates and the rows
+    floor is a no-op."""
+    blocks = _shuffle_blocks(table, cfg, cpu_floor=False)
+    if cfg is not None and cfg.shuffle_blocks:
+        return blocks
+    rows = sum(f.rows for f in table.live_files())
+    return int(min(4096, max(blocks, min(rows // 200_000, 64))))
+
+
+@ray.remote(num_cpus=1)
+def _cluster_small_task(
+    paths: list,
+    data_dir: str,
+    prefix: str,
+    codes: dict,
+    curve: str,
+    cols: tuple,
+    stats_cols: tuple,
+    rows_per_file: Optional[int],
+    schema: pa.Schema,
+) -> list:
+    """Whole-table clustering rewrite in ONE task (small-table fast
+    path): read -> curve key -> in-memory sort -> write. Only reached
+    when the table's live bytes fit comfortably in one worker's heap
+    (``cfg.cluster_small_bytes``); the distributed sort's sample +
+    range-exchange orchestration dominates actual compute ~4:1 at this
+    size (BASELINE.md round 4).
+
+    ``schema`` is the manifest's VISIBLE schema: each file is aligned
+    to it (evolved columns null-filled, ``__``-internals such as a
+    prior run's zkey dropped) -- the same view ``Table.scan`` serves
+    the distributed path."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from engine.writer import write_block
+    from engine.zorder import add_cluster_key
+
+    merged = pa.concat_tables(
+        [align_to_schema(pq.read_table(p), schema) for p in paths]
+    )
+    keyed = add_cluster_key(merged, codes, curve=curve, cols=cols)
+    keyed = keyed.take(pc.sort_indices(keyed, sort_keys=[(ZKEY_COL, "ascending")]))
+    per = rows_per_file or len(keyed) or 1
+    out = []
+    for off in range(0, max(len(keyed), 1), per):
+        chunk = keyed.slice(off, per)
+        if len(chunk) or not out:
+            out.append(write_block(chunk, data_dir, prefix, stats_cols=stats_cols))
+    return out
 
 
 def _codes_from_manifest(table: Table, col: str) -> Optional[dict]:
@@ -379,18 +434,45 @@ def cluster(
         codes = collect_lang_codes(
             table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
         )
-    blocks = _sort_blocks(table, cfg)
-    clustered = cluster_dataset(
-        table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
-        cols=tuple(cfg.cluster_cols),
-    )
-    entries = write_files(
-        clustered,
-        table.data_dir,
-        prefix=f"cluster-{job_id}",
-        stats_cols=tuple(cfg.stats_cols) + (ZKEY_COL,),
-        rows_per_file=rows_per_file,
-    )
+    live = table.live_files()
+    mschema = table.arrow_schema()
+    if (
+        live
+        and mschema is not None
+        and sum(f.bytes for f in live) <= cfg.cluster_small_bytes
+    ):
+        # small-table fast path: one task, no distributed sort (see
+        # _cluster_small_task). Semantics identical: same key, same
+        # global zkey order across output files, same per-file stats.
+        import ray
+
+        rows_out = ray.get(
+            _cluster_small_task.remote(
+                [f.path for f in live],
+                table.data_dir,
+                f"cluster-{job_id}",
+                codes,
+                cfg.cluster_curve,
+                tuple(cfg.cluster_cols),
+                tuple(cfg.stats_cols) + (ZKEY_COL,),
+                rows_per_file,
+                pa.schema([f for f in mschema if not f.name.startswith("__")]),
+            )
+        )
+        entries = [FileEntry.from_json(r) for r in rows_out]
+    else:
+        blocks = _sort_blocks(table, cfg)
+        clustered = cluster_dataset(
+            table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
+            cols=tuple(cfg.cluster_cols),
+        )
+        entries = write_files(
+            clustered,
+            table.data_dir,
+            prefix=f"cluster-{job_id}",
+            stats_cols=tuple(cfg.stats_cols) + (ZKEY_COL,),
+            rows_per_file=rows_per_file,
+        )
     old_paths = [f.path for f in table.live_files()]
     snap = table.commit(f"cluster:{job_id}", add_files=entries, remove_files=old_paths)
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}

@@ -91,6 +91,39 @@ def test_cluster_preserves_rows_and_records_stats(tmp_table_root, ray_session):
         assert a_hi <= b_lo
 
 
+def test_cluster_small_fast_path_matches_distributed(tmp_path, ray_session):
+    """The one-task small-table path and the distributed sort path must
+    produce the same row set, the same per-file zkey stats shape, and
+    non-overlapping file ranges."""
+    src = synth_pages_table(700)
+    results = {}
+    for name, cfg in [
+        ("fast", CFG),  # 700 rows ~ a few KB -> under cluster_small_bytes
+        ("dist", EngineConfig(merge_buckets=4, cluster_small_bytes=0)),
+    ]:
+        t = Table.create(str(tmp_path / name))
+        ingest(t, ray.data.from_arrow(src), cfg, sanitize_cols=())
+        cluster(t, cfg, rows_per_file=150)
+        # re-clustering must drop the previous run's __zkey, not stack a
+        # duplicate (scan-view parity of the fast path)
+        cluster(t, cfg, rows_per_file=150)
+        got = (
+            t.scan()
+            .to_pandas()
+            .sort_values(["url", "warc_ts", "text"], na_position="first")
+            .reset_index(drop=True)
+        )
+        files = t.live_files()
+        assert all("__zkey" in f.stats for f in files), name
+        zranges = sorted(tuple(f.stats["__zkey"]) for f in files)
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(zranges, zranges[1:]):
+            assert a_hi <= b_lo, name
+        results[name] = got
+    pd.testing.assert_frame_equal(
+        results["fast"], results["dist"][results["fast"].columns]
+    )
+
+
 def test_expire_gc_after_maintenance(tmp_table_root, sf_dir, ray_session):
     full_maintenance(tmp_table_root, read_pages(sf_dir), CFG, target_bytes=4 << 20)
     t = Table.load(tmp_table_root)

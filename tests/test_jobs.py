@@ -124,6 +124,39 @@ def test_cluster_small_fast_path_matches_distributed(tmp_path, ray_session):
     )
 
 
+def test_cluster_small_fast_path_schema_evolution(tmp_path, ray_session):
+    """Fast-path clustering over a table whose files have DIFFERENT
+    footer schemas (a second ingest appended a new column) must align
+    every file to the manifest's visible schema — old rows null-filled,
+    same result as the distributed path."""
+    base = synth_pages_table(200)
+    evolved = synth_pages_table(200).append_column(
+        "crawl_tag", pa.array(["c2"] * 200, type=pa.string())
+    )
+    results = {}
+    for name, cfg in [
+        ("fast", CFG),
+        ("dist", EngineConfig(merge_buckets=4, cluster_small_bytes=0)),
+    ]:
+        t = Table.create(str(tmp_path / name))
+        ingest(t, ray.data.from_arrow(base), cfg, sanitize_cols=())
+        ingest(t, ray.data.from_arrow(evolved), cfg, sanitize_cols=())
+        cluster(t, cfg, rows_per_file=100)
+        got = (
+            t.scan()
+            .to_pandas()
+            .sort_values(["url", "warc_ts", "text"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert "crawl_tag" in got.columns, name
+        assert got.crawl_tag.isna().sum() == 200, name  # pre-evolution rows
+        assert len(got) == 400, name
+        results[name] = got
+    pd.testing.assert_frame_equal(
+        results["fast"], results["dist"][results["fast"].columns]
+    )
+
+
 def test_expire_gc_after_maintenance(tmp_table_root, sf_dir, ray_session):
     full_maintenance(tmp_table_root, read_pages(sf_dir), CFG, target_bytes=4 << 20)
     t = Table.load(tmp_table_root)

@@ -74,7 +74,10 @@ def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Datas
 # ---------------------------------------------------------------------------
 
 def _shuffle_blocks(
-    table: Table, cfg: Optional[EngineConfig] = None, cpu_floor: bool = True
+    table: Table,
+    cfg: Optional[EngineConfig] = None,
+    cpu_floor: bool = True,
+    live: Optional[list] = None,
 ) -> int:
     """Block/partition count for shuffle stages, from manifest bytes.
     ``cfg.shuffle_blocks`` overrides (fixed data-derived partitioning,
@@ -92,7 +95,7 @@ def _shuffle_blocks(
 
     if cfg is not None and cfg.shuffle_blocks:
         return int(cfg.shuffle_blocks)
-    total_bytes = sum(f.bytes for f in table.live_files())
+    total_bytes = sum(f.bytes for f in (live if live is not None else table.live_files()))
     by_bytes = total_bytes // (32 << 20) + 1
     if not cpu_floor:
         return int(min(4096, by_bytes))
@@ -335,7 +338,9 @@ def compact(
     )
 
 
-def _sort_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
+def _sort_blocks(
+    table: Table, cfg: Optional[EngineConfig] = None, live: Optional[list] = None
+) -> int:
     """Bytes-only block count for the clustering sort (no CPU term):
     the dataflow is then a pure property of the DATA -- identical at
     every cluster size -- and a small post-merge table doesn't pay an
@@ -352,11 +357,16 @@ def _sort_blocks(table: Table, cfg: Optional[EngineConfig] = None) -> int:
     that a 4-block sort would starve. Both terms are properties of the
     DATA (no CPU term) so the dataflow stays identical across cluster
     sizes; at production scale the bytes term dominates and the rows
-    floor is a no-op."""
-    blocks = _shuffle_blocks(table, cfg, cpu_floor=False)
+    floor is a no-op.
+
+    ``live`` lets callers that already hold the live-file list avoid a
+    redundant manifest parse (a 10^6-file manifest is a real pass)."""
+    if live is None:
+        live = table.live_files()
+    blocks = _shuffle_blocks(table, cfg, cpu_floor=False, live=live)
     if cfg is not None and cfg.shuffle_blocks:
         return blocks
-    rows = sum(f.rows for f in table.live_files())
+    rows = sum(f.rows for f in live)
     return int(min(4096, max(blocks, min(rows // 200_000, 64))))
 
 
@@ -439,13 +449,12 @@ def cluster(
     if (
         live
         and mschema is not None
+        and not (cfg.shuffle_blocks)  # explicit partitioning pin wins
         and sum(f.bytes for f in live) <= cfg.cluster_small_bytes
     ):
         # small-table fast path: one task, no distributed sort (see
         # _cluster_small_task). Semantics identical: same key, same
         # global zkey order across output files, same per-file stats.
-        import ray
-
         rows_out = ray.get(
             _cluster_small_task.remote(
                 [f.path for f in live],
@@ -461,7 +470,7 @@ def cluster(
         )
         entries = [FileEntry.from_json(r) for r in rows_out]
     else:
-        blocks = _sort_blocks(table, cfg)
+        blocks = _sort_blocks(table, cfg, live=live)
         clustered = cluster_dataset(
             table.scan().repartition(blocks), codes, curve=cfg.cluster_curve,
             cols=tuple(cfg.cluster_cols),
@@ -473,7 +482,7 @@ def cluster(
             stats_cols=tuple(cfg.stats_cols) + (ZKEY_COL,),
             rows_per_file=rows_per_file,
         )
-    old_paths = [f.path for f in table.live_files()]
+    old_paths = [f.path for f in live]
     snap = table.commit(f"cluster:{job_id}", add_files=entries, remove_files=old_paths)
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
 

@@ -136,7 +136,9 @@ def test_cluster_small_fast_path_schema_evolution(tmp_path, ray_session):
     results = {}
     for name, cfg in [
         ("fast", CFG),
-        ("dist", EngineConfig(merge_buckets=4, cluster_small_bytes=0)),
+        # an explicit shuffle_blocks pin must SUPPRESS the fast path
+        # (the option's contract is a fixed distributed partitioning)
+        ("dist", EngineConfig(merge_buckets=4, shuffle_blocks=4)),
     ]:
         t = Table.create(str(tmp_path / name))
         ingest(t, ray.data.from_arrow(base), cfg, sanitize_cols=())
@@ -145,7 +147,10 @@ def test_cluster_small_fast_path_schema_evolution(tmp_path, ray_session):
         got = (
             t.scan()
             .to_pandas()
-            .sort_values(["url", "warc_ts", "text"], na_position="first")
+            # crawl_tag must be part of the key: base and evolved share
+            # identical (url, warc_ts, text) triples, so without it the
+            # 2-way ties land in path-dependent order
+            .sort_values(["url", "warc_ts", "text", "crawl_tag"], na_position="first")
             .reset_index(drop=True)
         )
         assert "crawl_tag" in got.columns, name

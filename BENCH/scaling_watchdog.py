@@ -49,6 +49,11 @@ def main() -> None:
             confirm = lo2 / hi2 / 4
             print(f"confirm: ceiling={confirm:.3f}", flush=True)
             if confirm < GATE:
+                # a failed confirm costs ONE poll period, as documented:
+                # without this sleep a ceiling hovering at the gate
+                # tight-loops calibrations, loading the very host whose
+                # idle scaling is being measured
+                time.sleep(POLL_SECONDS)
                 continue
             n += 1
             out = subprocess.run(

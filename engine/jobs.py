@@ -413,13 +413,14 @@ def _cluster_small_task(
     return out
 
 
-def _codes_from_manifest(table: Table, col: str) -> Optional[dict]:
+def _codes_from_manifest(files: list, col: str) -> Optional[dict]:
     """Dense dictionary codes for ``col`` from the manifest's per-file
     distinct-value sets -- exact iff EVERY live file recorded the stat
     (a file over the cardinality cap, or written pre-stat, forces the
     scan fallback). Same sorted-distinct mapping as
-    ``collect_lang_codes`` by construction."""
-    files = table.live_files()
+    ``collect_lang_codes`` by construction. Takes the already-parsed
+    file list so the caller pays ONE manifest parse, not one per
+    accessor (a 10^6-file manifest is a real pass)."""
     if not files or any(col not in f.distincts for f in files):
         return None
     vals = sorted({v for f in files for v in f.distincts[col] if v is not None})
@@ -436,16 +437,19 @@ def cluster(
     sort -> write files (zkey min/max recorded per file) -> snapshot."""
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
+    # ONE manifest parse per cluster(): files, schema and the distinct
+    # codes all come off the same Snapshot object
+    snap = table.snapshot()
+    live = snap.files
+    mschema = snap.arrow_schema()
     # distinct codes from manifest value-set stats when every live file
     # carries them (metadata-only, no Dataset execution); fall back to a
     # pruned single-column scan -- unique(lang) must not read html bytes
-    codes = _codes_from_manifest(table, cfg.cluster_cols[0])
+    codes = _codes_from_manifest(live, cfg.cluster_cols[0])
     if codes is None:
         codes = collect_lang_codes(
             table.scan(columns=[cfg.cluster_cols[0]]), col=cfg.cluster_cols[0]
         )
-    live = table.live_files()
-    mschema = table.arrow_schema()
     if (
         live
         and mschema is not None

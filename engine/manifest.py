@@ -84,9 +84,34 @@ class Snapshot:
     def total_rows(self) -> int:
         return sum(f.rows for f in self.files)
 
+    def arrow_schema(self) -> Optional[pa.Schema]:
+        """Schema of this already-parsed snapshot — use when the caller
+        holds a Snapshot, so it does not pay a second full manifest
+        parse via ``Table.arrow_schema()``."""
+        return _schema_from_json(self.schema_json)
+
 
 def _schema_to_json(schema: pa.Schema) -> list:
     return [[f.name, str(f.type)] for f in schema]
+
+
+def _schema_from_json(sj: list) -> Optional[pa.Schema]:
+    if not sj:
+        return None
+    # minimal round-trip for the types the engine uses
+    m = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "binary": pa.binary(),
+        "large_binary": pa.large_binary(),
+        "timestamp[us]": pa.timestamp("us"),
+        "int64": pa.int64(),
+        "int32": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "uint64": pa.uint64(),
+    }
+    return pa.schema([(n, m.get(t, pa.string())) for n, t in sj])
 
 
 class Table:
@@ -272,23 +297,7 @@ class Table:
         )
 
     def arrow_schema(self, snapshot_id: Optional[int] = None) -> Optional[pa.Schema]:
-        sj = self.snapshot(snapshot_id).schema_json
-        if not sj:
-            return None
-        # minimal round-trip for the types the engine uses
-        m = {
-            "string": pa.string(),
-            "large_string": pa.large_string(),
-            "binary": pa.binary(),
-            "large_binary": pa.large_binary(),
-            "timestamp[us]": pa.timestamp("us"),
-            "int64": pa.int64(),
-            "int32": pa.int32(),
-            "double": pa.float64(),
-            "float": pa.float32(),
-            "uint64": pa.uint64(),
-        }
-        return pa.schema([(n, m.get(t, pa.string())) for n, t in sj])
+        return _schema_from_json(self.snapshot(snapshot_id).schema_json)
 
     # -- expiration + GC (L3/L4) ------------------------------------------
 

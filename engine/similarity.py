@@ -211,7 +211,9 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed:
     return c
 
 
-def _train_sample_vectors(ds, n_target: int, vec_col: str) -> np.ndarray:
+def _train_sample_vectors(
+    ds, n_target: int, vec_col: str, n_rows: int | None = None
+) -> np.ndarray:
     """Strided k-means training sample across the WHOLE table (round-3
     VERDICT #6): ``ds.limit()`` reads the FIRST blocks, and on a table
     this engine itself produces (sorted/clustered) a head sample is
@@ -220,9 +222,13 @@ def _train_sample_vectors(ds, n_target: int, vec_col: str) -> np.ndarray:
     spans every file / key range (same idiom as the writer's distinct
     sampler, ``engine/writer.py``). Costs one projected pass over
     ``vec_col``; the row count is parquet-metadata-only for file-backed
-    inputs (for derived inputs, prefer sizing the pipeline upstream).
+    inputs. For DERIVED inputs ``ds.count()`` would execute the whole
+    upstream pipeline once more -- pass ``n_rows`` (known or estimated;
+    it only sets the sampling fraction, over/under-shooting merely
+    changes the sample size) to skip it, same escape hatch as
+    ``embed_dup_pairs_auto``.
     """
-    n = ds.count()
+    n = ds.count() if n_rows is None else int(n_rows)
     frac = min(1.0, n_target / max(1, n))
 
     def strided(t: pa.Table) -> pa.Table:
@@ -251,6 +257,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_sample: int = 2048,
     exclude_self: bool = True,
+    n_rows: int | None = None,
 ):
     """IVF approximate top-k: the scale path for similarity search.
 
@@ -265,8 +272,13 @@ def ivf_topk(
     unprobed list); raise ``nprobe`` to trade compute for recall. At
     10^9+ vectors the assignment becomes a stored ``__list`` column and
     probing becomes a manifest-pruned scan of the probed lists only.
+    ``n_rows``: known/estimated input size, forwarded to the training
+    sampler so a derived (non-file-backed) ``ds`` is not executed an
+    extra time just for ``count()``.
     """
-    c = train_centroids(_train_sample_vectors(ds, train_sample, vec_col), n_centroids)
+    c = train_centroids(
+        _train_sample_vectors(ds, train_sample, vec_col, n_rows=n_rows), n_centroids
+    )
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     qids = np.asarray(query_ids)
     # per query: the nprobe nearest centroid lists
@@ -316,6 +328,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_file: int | None = None,
+    n_rows: int | None = None,
 ):
     """Materialize an IVF index as a manifest Table: the list assignment
     is a STORED ``__list`` column, files are range-partitioned by it
@@ -333,7 +346,9 @@ def build_ivf_index(
     from engine.manifest import Table
     from engine.writer import write_files
 
-    c = train_centroids(_train_sample_vectors(ds, train_sample, vec_col), n_centroids)
+    c = train_centroids(
+        _train_sample_vectors(ds, train_sample, vec_col, n_rows=n_rows), n_centroids
+    )
     cref = ray.put(c)
 
     def assign(t: pa.Table) -> pa.Table:

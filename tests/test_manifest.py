@@ -197,11 +197,11 @@ def test_codes_from_manifest_matches_scan(tmp_table_root):
     t.commit("ingest", [fa, fb])
     from engine.jobs import _codes_from_manifest
 
-    assert _codes_from_manifest(t, "lang") == {"de": 0, "en": 1, "zh": 2}
+    assert _codes_from_manifest(t.live_files(), "lang") == {"de": 0, "en": 1, "zh": 2}
     # a file missing the stat forces the scan fallback (returns None)
     fb_nostat = FileEntry(path=fb.path, rows=fb.rows, bytes=fb.bytes)
     t.commit("rewrite", [fa, fb_nostat], remove_files=[fa.path, fb.path])
-    assert _codes_from_manifest(t, "lang") is None
+    assert _codes_from_manifest(t.live_files(), "lang") is None
 
 
 def test_open_bounds_keep_all_null_distinct_file(tmp_table_root):

@@ -271,6 +271,14 @@ def test_ivf_train_sample_is_strided_not_head_biased(ray_session):
     lists_b = set(assign[half:].tolist())
     assert len(lists_a) >= 2 and len(lists_b) >= 2, (lists_a, lists_b)
 
+    # n_rows bypass (ADVICE-r3 derived-input trap): passing the known
+    # row count must skip ds.count() and produce the identical sample
+    sample2 = _train_sample_vectors(ds, 512, "embedding", n_rows=n)
+    assert np.array_equal(sample, sample2)
+    # an estimate only changes the sample SIZE, never crashes
+    sample3 = _train_sample_vectors(ds, 512, "embedding", n_rows=n // 2)
+    assert 512 <= len(sample3) <= 1200
+
 
 def test_ivf_indexed_full_probe_equals_brute(ray_session, tmp_path):
     # the ivf_topk driver oracle's load-bearing property: at nprobe =

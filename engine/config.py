@@ -53,6 +53,16 @@ class EngineConfig:
     #: auto-routing additionally requires a multi-node cluster unless
     #: this forces it on.
     merge_wide_single_node: bool = False
+    #: tables at or below this many live manifest bytes (and no source
+    #: Dataset) skip the merge exchange entirely: ONE Ray task reads the
+    #: files, runs the identical LWW fold over all rows at once and
+    #: writes the output. The fold is a row-set operation -- bucketing
+    #: is purely a parallelism device -- so semantics are unchanged by
+    #: construction. Same rationale/measurements as
+    #: ``cluster_small_bytes``: at 30 MB / 200 k rows the distributed
+    #: repartition + sort-shuffle groupby cost ~3 s of orchestration
+    #: for ~0.5 s of fold compute. Never triggers at production scale.
+    merge_small_bytes: int = 64 * 1024 * 1024
 
     # --- clustering ------------------------------------------------------
     cluster_cols: tuple = ("lang", "url")

@@ -276,6 +276,44 @@ def _auto_wide_cols(table: Table, cfg: EngineConfig) -> list:
     return [c for c in binary_cols if shares.get(c, 0.0) >= cfg.merge_wide_share]
 
 
+@ray.remote(num_cpus=1)
+def _merge_small_task(
+    paths: list,
+    data_dir: str,
+    prefix: str,
+    key: str,
+    ts: str,
+    stats_cols: tuple,
+    schema: pa.Schema,
+) -> list:
+    """Whole-table MERGE in ONE task (small-table fast path): read ->
+    LWW fold -> write. Only reached when the table's live bytes fit one
+    worker's heap (``cfg.merge_small_bytes``) and there is no source
+    Dataset (a source's size is unknown without executing it). The fold
+    is :func:`engine.merge.merge_fold_passthrough` -- the SAME function
+    the distributed per-bucket path runs, applied to all rows at once:
+    bucketing is purely a parallelism device over a row-set fold, so
+    semantics are unchanged by construction. At the driver bench's
+    ~30 MB / 200 k-row config the distributed repartition + sort-shuffle
+    groupby spends ~3 s of orchestration on ~0.5 s of fold compute
+    (BASELINE.md round 4); never triggers at production scale.
+
+    ``schema`` is the manifest's VISIBLE schema, aligned per file the
+    same way ``Table.scan`` serves the distributed path (evolved
+    columns null-filled, ``__``-internals dropped)."""
+    import pyarrow.parquet as pq
+
+    from engine.merge import merge_fold_passthrough
+    from engine.writer import write_block
+
+    merged = pa.concat_tables(
+        [align_to_schema(pq.read_table(p), schema) for p in paths]
+    )
+    out = merge_fold_passthrough(merged.to_pandas(), key, ts)
+    block = pa.Table.from_pandas(out, preserve_index=False)
+    return [write_block(block, data_dir, prefix, stats_cols=stats_cols)]
+
+
 def merge_into(
     table: Table,
     cfg: Optional[EngineConfig] = None,
@@ -288,9 +326,14 @@ def merge_into(
     (new files, old files stay until expiration -- snapshot isolation)."""
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
+    # ONE manifest parse per merge_into(): files + schema off the same
+    # Snapshot object (a 10^6-file manifest is a real pass)
+    snap = table.snapshot()
+    live = snap.files
+    schema = snap.arrow_schema()
     # bytes/CPU-derived bucket count, with cfg.merge_buckets as a FLOOR
     # (the user's hot-bucket / skew knob: raising it always takes effect)
-    blocks = max(_shuffle_blocks(table, cfg), int(cfg.merge_buckets or 0))
+    blocks = max(_shuffle_blocks(table, cfg, live=live), int(cfg.merge_buckets or 0))
 
     def build():
         ds = table.scan()
@@ -298,23 +341,48 @@ def merge_into(
             ds = ds.union(source)
         return ds.repartition(blocks)
 
-    schema = table.arrow_schema()
     names = set(schema.names) if schema is not None else set()
     wide = [c for c in (cfg.merge_wide_cols or ()) if c in names]
     if not wide and cfg.merge_wide_auto:
         wide = _auto_wide_cols(table, cfg)
-    if wide:
-        from engine.merge import merge_datasets_wide
-
-        merged = merge_datasets_wide(
-            build, wide, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks
+    if (
+        not wide
+        and source is None
+        and live
+        and schema is not None
+        and not cfg.shuffle_blocks  # explicit partitioning pin wins
+        and sum(f.bytes for f in live) <= cfg.merge_small_bytes
+    ):
+        # small-table fast path: one task, no exchange (see
+        # _merge_small_task). Semantics identical: same fold function,
+        # same key/ts, same per-file stats.
+        rows_out = ray.get(
+            _merge_small_task.remote(
+                [f.path for f in live],
+                table.data_dir,
+                f"merge-{job_id}",
+                cfg.merge_key,
+                cfg.merge_ts,
+                tuple(cfg.stats_cols),
+                pa.schema([f for f in schema if not f.name.startswith("__")]),
+            )
         )
+        entries = [FileEntry.from_json(r) for r in rows_out]
     else:
-        merged = merge_datasets(build(), key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks)
-    entries = write_files(
-        merged, table.data_dir, prefix=f"merge-{job_id}", stats_cols=cfg.stats_cols
-    )
-    old_paths = [f.path for f in table.live_files()]
+        if wide:
+            from engine.merge import merge_datasets_wide
+
+            merged = merge_datasets_wide(
+                build, wide, key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks
+            )
+        else:
+            merged = merge_datasets(
+                build(), key=cfg.merge_key, ts=cfg.merge_ts, num_buckets=blocks
+            )
+        entries = write_files(
+            merged, table.data_dir, prefix=f"merge-{job_id}", stats_cols=cfg.stats_cols
+        )
+    old_paths = [f.path for f in live]
     snap = table.commit(f"merge:{job_id}", add_files=entries, remove_files=old_paths)
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
 

@@ -417,11 +417,19 @@ def merge_datasets(
     )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["__bucket"])
-        null_mask = df[key].isna() | (df[key] == "")
-        merged = merge_fold(df[~null_mask], key, ts)
-        if null_mask.any():
-            merged = pd.concat([merged, df[null_mask]], ignore_index=True)
-        return merged
+        return merge_fold_passthrough(df.drop(columns=["__bucket"]), key, ts)
 
     return keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+
+
+def merge_fold_passthrough(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
+    """The per-bucket merge fold including NULL/empty-key passthrough.
+    Shared by the distributed per-bucket path above and the small-table
+    single-task path (``jobs._merge_small_task``) so the two are the
+    same code by construction -- bucketing is purely a parallelism
+    device over this row-set fold."""
+    null_mask = df[key].isna() | (df[key] == "")
+    merged = merge_fold(df[~null_mask], key, ts)
+    if null_mask.any():
+        merged = pd.concat([merged, df[null_mask]], ignore_index=True)
+    return merged

@@ -162,6 +162,73 @@ def test_cluster_small_fast_path_schema_evolution(tmp_path, ray_session):
     )
 
 
+def test_merge_small_fast_path_matches_distributed(tmp_path, ray_session):
+    """The one-task small-table MERGE and the distributed bucketed fold
+    must produce the same row set (LWW + non-empty coalesce + null-url
+    passthrough), including across schema-evolved files. Disjoint
+    doc_id ranges keep every warc_ts distinct so LWW ties cannot make
+    the comparison path-dependent (merge_fold's stable ts sort breaks
+    ties by input order, which differs between the two paths)."""
+    full = synth_pages_table(800)
+    base = full.slice(0, 400)
+    evolved = full.slice(400, 400).append_column(
+        "crawl_tag", pa.array(["c2"] * 400, type=pa.string())
+    )
+    results = {}
+    for name, cfg in [
+        ("fast", CFG),  # 800 rows ~ tens of KB -> under merge_small_bytes
+        ("dist", EngineConfig(merge_buckets=4, merge_small_bytes=0)),
+    ]:
+        t = Table.create(str(tmp_path / name))
+        ingest(t, ray.data.from_arrow(base), cfg, sanitize_cols=())
+        ingest(t, ray.data.from_arrow(evolved), cfg, sanitize_cols=())
+        out = merge_into(t, cfg)
+        got = (
+            t.scan()
+            .to_pandas()
+            .sort_values(["url", "warc_ts", "text"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert "crawl_tag" in got.columns, name
+        assert got[got.url.notna()].url.is_unique, name
+        results[name] = (out["files"], got)
+    fast_files, fast = results["fast"]
+    dist_files, dist = results["dist"]
+    # routing proof: the fast path writes exactly ONE file, the
+    # distributed path one per non-empty bucket
+    assert fast_files == 1 and dist_files > 1
+    pd.testing.assert_frame_equal(fast, dist[fast.columns])
+
+
+def test_merge_small_fast_path_gate(tmp_path, ray_session):
+    """A source Dataset or an explicit shuffle_blocks pin must suppress
+    the fast path (source size is unknown; the pin's contract is a
+    fixed distributed partitioning) — and the merged result is the
+    same either way."""
+    full = synth_pages_table(400)
+    t = Table.create(str(tmp_path / "t"))
+    ingest(t, ray.data.from_arrow(full.slice(0, 200)), CFG, sanitize_cols=())
+    # source present -> distributed path (files > 1 with 4 buckets)
+    out = merge_into(t, CFG, source=ray.data.from_arrow(full.slice(200, 200)))
+    assert out["files"] > 1
+    assert out["rows"] == len(t.scan().to_pandas())
+    # pin present -> distributed path even though the table is tiny
+    out2 = merge_into(t, EngineConfig(merge_buckets=4, shuffle_blocks=4))
+    assert out2["files"] > 1
+    # and with neither: fast path, same surviving row set as a rerun
+    before = (
+        t.scan().to_pandas().sort_values(["url", "warc_ts", "text"], na_position="first")
+    )
+    out3 = merge_into(t, CFG)
+    assert out3["files"] == 1
+    after = (
+        t.scan().to_pandas().sort_values(["url", "warc_ts", "text"], na_position="first")
+    )
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
 def test_expire_gc_after_maintenance(tmp_table_root, sf_dir, ray_session):
     full_maintenance(tmp_table_root, read_pages(sf_dir), CFG, target_bytes=4 << 20)
     t = Table.load(tmp_table_root)

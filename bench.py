@@ -34,18 +34,26 @@ EXPAND = int(os.environ.get("BENCH_EXPAND", "40"))
 BENCH_URL_MOD = 65536
 
 
-def _build_input(work_dir: str) -> tuple[str, int]:
-    """Untimed setup: expanded pages table as 64 small parquet files."""
+def _build_input(work_dir: str, expand: int | None = None) -> tuple[str, int]:
+    """Untimed setup: expanded pages table as 64 small parquet files.
+
+    Writes a ``meta.json`` next to the files so another process can
+    safely REUSE the directory (``BENCH_INPUT_DIR``): the input is a
+    pure deterministic function of (sf_dir, expand, url_mod), and a
+    ``--scaling`` campaign building it once instead of once per
+    subprocess keeps ~1-2 min of pure setup out of the measurement
+    window the run is gated on."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from engine.pages import derive_pages_batch
 
+    expand = EXPAND if expand is None else expand
     src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
     n = len(src)
     tables = []
-    for rep in range(EXPAND):
+    for rep in range(expand):
         t = src.set_column(
             0, "doc_id", pa.array(src.column("doc_id").to_numpy() + rep * n, type=pa.int64())
         )
@@ -59,7 +67,30 @@ def _build_input(work_dir: str) -> tuple[str, int]:
         chunk = full.slice(i * per, per)
         if len(chunk):
             pq.write_table(chunk, os.path.join(in_dir, f"in-{i:03d}.parquet"), compression="zstd")
+    # sibling file, NOT inside in_dir: read_parquet(in_dir) globs the
+    # whole directory and would choke on a stray json
+    with open(in_dir + ".meta.json", "w") as f:
+        json.dump(
+            {"sf": SF_DIR, "expand": expand, "url_mod": BENCH_URL_MOD, "rows": rows}, f
+        )
     return in_dir, rows
+
+
+def _reusable_input(expand: int) -> tuple[str, int] | None:
+    """(in_dir, rows) for a prebuilt ``BENCH_INPUT_DIR`` matching this
+    configuration exactly, else None (mismatch or absent -> the caller
+    builds its own; reuse must never silently change the input)."""
+    pre = os.environ.get("BENCH_INPUT_DIR")
+    if not pre:
+        return None
+    try:
+        with open(pre.rstrip("/") + ".meta.json") as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if meta.get("sf") == SF_DIR and meta.get("expand") == expand and meta.get("url_mod") == BENCH_URL_MOD:
+        return pre, int(meta["rows"])
+    return None
 
 
 def run_headline() -> dict:
@@ -85,7 +116,12 @@ def run_headline() -> dict:
 
     work = f"/tmp/bench-{NUM_CPUS}-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
-    in_dir, rows = _build_input(work)
+    pre = _reusable_input(EXPAND)
+    if pre is not None:
+        in_dir, rows = pre
+        os.makedirs(work, exist_ok=True)
+    else:
+        in_dir, rows = _build_input(work)
     # warm OS page cache AND the Ray worker pool (untimed) so we measure
     # compute+shuffle, not process startup: a full identity pass.
     ray.data.read_parquet(in_dir).map_batches(
@@ -222,13 +258,26 @@ def _calibrate(ncpu: int) -> float:
 
 
 def run_scaling() -> dict:
+    # scaling runs default to a larger input so per-stage fixed costs
+    # (plan/optimize, sort barriers, manifest commits) amortize -- at
+    # the target scale fixed costs are noise, so the measurement should
+    # not be dominated by them either
+    expand = int(os.environ.get("BENCH_EXPAND", "480"))
+    # build the (deterministic) input ONCE and share it across all four
+    # subprocesses -- rebuilding it per subprocess added ~1-2 min of
+    # pure setup inside the clean-window the run is gated on. An
+    # already-matching BENCH_INPUT_DIR (e.g. prebuilt by the watchdog
+    # before any gate) is reused as-is.
+    shared_env = {}
+    if _reusable_input(expand) is None:
+        shared = f"/tmp/bench-shared-{os.getpid()}"
+        shutil.rmtree(shared, ignore_errors=True)
+        in_dir, _ = _build_input(shared, expand=expand)
+        shared_env["BENCH_INPUT_DIR"] = in_dir
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # scaling runs default to a larger input so per-stage fixed
-        # costs (plan/optimize, sort barriers, manifest commits)
-        # amortize -- at the target scale fixed costs are noise, so the
-        # measurement should not be dominated by them either
-        env.setdefault("BENCH_EXPAND", "480")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **shared_env)
+        env.setdefault("BENCH_EXPAND", str(expand))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

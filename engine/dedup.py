@@ -458,17 +458,27 @@ def _input_bytes(ds):
 
 
 def _pairs_buckets(ds, explicit=None) -> int:
-    """Shuffle bucket count for the LSH pipelines, mirroring
-    ``engine.jobs._shuffle_blocks``: ~32 MB of input bytes per bucket
-    with a CPU floor, instead of a hard-coded 64 (round-2 VERDICT #2).
-    Callers with derived inputs can pass ``explicit``.
+    """Shuffle bucket count for the LSH pipelines: ~8 MB of input bytes
+    per bucket (floor 8, cap 4096) -- a pure function of the DATA with
+    no cluster-size term. Callers with derived inputs can pass
+    ``explicit``.
+
+    The earlier CPU floor (min(64, cpus)) made the dataflow depend on
+    the session size: a 5 MB corpus got 8 fold buckets at 8 CPUs but 32
+    at 32 CPUs, and on micro inputs those extra near-empty groupby
+    partitions were pure fixed cost (measured 2.85 s -> 1.46 s at 32
+    CPUs when pinned back to 8; identical pair output). Mid-size
+    parallelism now comes from the finer 8 MB granularity instead --
+    the band rows expand the input several-fold, so 8 MB of source
+    text is real fold work -- and at 100 TB the cap binds long before
+    either term matters (raise DataContext.target_max_block_size
+    there, not bucket count).
     """
     if explicit:
         return int(explicit)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nbytes = _input_bytes(ds)
-    by_bytes = (nbytes // (32 << 20) + 1) if nbytes else 1
-    return int(min(4096, max(by_bytes, min(64, cpus), 8)))
+    by_bytes = (nbytes // (8 << 20) + 1) if nbytes else 1
+    return int(min(4096, max(by_bytes, 8)))
 
 
 def _segment_pairs(starts, lens, max_cell=None):
@@ -757,8 +767,9 @@ def minhash_dedup_pairs(
     # coarse-bucket the band rows so the shuffle produces ~num_buckets
     # groups (ONE vectorized fold per bucket), not one Python call per
     # distinct (band, hash) -- that would be O(corpus) tiny groups.
-    # num_buckets is data-derived above (bytes/32MB with a CPU floor),
-    # so small corpora don't pay 64 near-empty partitions per stage.
+    # num_buckets is data-derived above (bytes/8MB, floor 8, no cluster
+    # term), so small corpora don't pay near-empty partitions per stage
+    # and the dataflow is identical across cluster sizes.
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = t.column("band_hash").to_numpy(zero_copy_only=False)

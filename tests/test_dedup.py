@@ -379,3 +379,34 @@ def test_segment_pairs_max_cell_validation():
         _segment_pairs(np.array([0]), np.array([5]), max_cell=1)
     with pytest.raises(ValueError, match="max_cell"):
         lsh_bucketed_pairs(None, max_cell=1)
+
+
+def test_pairs_buckets_is_a_pure_function_of_the_data(ray_session, tmp_path):
+    """The LSH fold bucket count must not depend on the session's CPU
+    count: identical data must produce the identical dataflow at 8 and
+    at 32 CPUs (the north-rule scaling measurement compares the SAME
+    pipeline at two parallelism levels, and a CPU term here was the
+    round-4 minhash inverse-scaling cause)."""
+    import pyarrow.parquet as pq
+
+    from engine.dedup import _pairs_buckets
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array([BASE] * 100)})
+    path = tmp_path / "docs.parquet"
+    pq.write_table(t, str(path))
+
+    ds = ray.data.read_parquet(str(path))
+    # tiny file -> the floor binds; no cluster-resource term may leak in
+    assert _pairs_buckets(ds) == 8
+    # explicit override always wins
+    assert _pairs_buckets(ds, 17) == 17
+    # the byte term: ~8 MB per bucket, capped
+    class _FakeBytes:
+        def __init__(self, files):
+            self._files = files
+        def input_files(self):
+            return self._files
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"\0" * (64 << 20))
+    assert _pairs_buckets(_FakeBytes([str(big)])) == 9  # 64MB/8MB + 1

@@ -32,6 +32,7 @@ from typing import Iterable, List, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1113,30 +1114,122 @@ def drop_near_duplicates_shuffle(ds, pairs, id_col: str = "doc_id", num_buckets:
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: byte classes for the vectorized fast tokenizer. Only ASCII bytes
+#: (< 0x80) may be classified: 0x85/0xA0 etc. appear as CONTINUATION
+#: bytes inside multi-byte UTF-8 characters, so marking them would
+#: split tokens mid-codepoint.
+_WS_BYTES = np.zeros(256, dtype=bool)
+for _b in b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ":
+    _WS_BYTES[_b] = True
+_LOWER_BYTES = np.arange(256, dtype=np.uint8)
+_LOWER_BYTES[65:91] += 32
+#: token-hash gather chunk: 64k tokens x 16 bytes keeps the index /
+#: gather temporaries ~9 MB so the allocator reuses one warm arena
+#: (same first-touch page-fault lesson as the bit-count kernel below)
+_TOKHASH_CHUNK = 65536
+
+
+def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(token_hash uint64, tokens_per_doc int64) over an Arrow string
+    array -- zero per-row Python.
+
+    Works directly on the UTF-8 data buffer: ASCII-lowercase via a
+    256-entry table, token boundaries from an ASCII-whitespace byte
+    mask with document starts/ends forced as breaks (a token can never
+    span documents), then each token hashed from its first 16 bytes +
+    its length through two splitmix64 rounds. Semantics vs the scalar
+    reference tokenizer (``_TOKEN_RE`` + ``str.lower``), by design:
+    non-ASCII whitespace (U+00A0, U+2028, ...) counts as token bytes
+    and non-ASCII letters keep their case -- deterministic and
+    locality-preserving, which is all a SimHash token hash needs; the
+    oracle-mirrored "md5" hasher keeps exact reference semantics.
+    Tokens sharing their first 16 bytes AND length collide -- also
+    fine for a similarity signature (such tokens are near-identical).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    arr = arr.cast(pa.large_string())
+    n = len(arr)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+    )
+    lo, hi = int(offs[0]), int(offs[-1])
+    if n == 0 or hi == lo:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    B = _LOWER_BYTES[data[lo:hi]]
+    offs = (offs - lo).astype(np.int64)
+    nb = len(B)
+    ws = _WS_BYTES[B]
+    # force doc boundaries as token breaks -- only at NON-EMPTY docs:
+    # an empty doc's offset equals its neighbor's (or sits past the
+    # last byte), and indexing with it would mark a false break
+    nonempty = offs[1:] > offs[:-1]
+    prev = np.empty(nb, bool)
+    prev[0] = True
+    prev[1:] = ws[:-1]
+    prev[offs[:-1][nonempty]] = True
+    starts = np.flatnonzero(~ws & prev)
+    nxt = np.empty(nb, bool)
+    nxt[-1] = True
+    nxt[:-1] = ws[1:]
+    nxt[offs[1:][nonempty] - 1] = True
+    ends = np.flatnonzero(~ws & nxt) + 1
+    tl = (ends - starts).astype(np.uint64)
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    t_count = len(starts)
+    h = np.empty(t_count, np.uint64)
+    rng = np.arange(16, dtype=np.int64)
+    for c0 in range(0, t_count, _TOKHASH_CHUNK):
+        c1 = min(c0 + _TOKHASH_CHUNK, t_count)
+        idx = starts[c0:c1, None] + rng
+        valid = idx < ends[c0:c1, None]
+        np.minimum(idx, nb - 1, out=idx)
+        b16 = B[idx]
+        b16[~valid] = 0
+        w = b16.view(np.uint64)
+        h[c0:c1] = _mix64(w[:, 0] ^ _mix64(w[:, 1] ^ tl[c0:c1]))
+    return h, lens
+
+
 def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
     """Batch-flat 64-bit SimHash over whitespace tokens.
 
-    One C-vectorized hash call for ALL tokens in the batch
-    (``pd.util.hash_array``, fixed key -> deterministic across runs and
-    workers), then ``unpackbits`` + ``add.reduceat`` segment sums. At
-    web-page token counts (~50-500 tokens/doc) per-doc numpy kernels
-    are dominated by numpy call overhead, not bandwidth -- the flat
-    kernel measured 1.7x faster on sf0.1 documents (38 vs 53 us/doc).
-    Bit rule: bit i set iff strictly more tokens have bit i set than
-    clear (ties -> 0).
+    The default "fast" hasher tokenizes AND hashes fully vectorized on
+    the Arrow UTF-8 buffer (:func:`_token_hashes_fast` -- no per-row
+    Python at all; pass the Arrow column straight in to skip the
+    ``to_pylist`` copy), then ``unpackbits`` + ``add.reduceat``
+    segment sums. Bit rule: bit i set iff strictly more tokens have
+    bit i set than clear (ties -> 0).
 
-    ``hasher``: "fast" (default, pd.util.hash_array) or "md5" -- the
-    token hash is the top 8 bytes of md5, which DuckDB can replicate
-    (``md5()``), making the signature SQL-mirrorable for oracles.
+    ``hasher="md5"`` keeps exact reference semantics (Python ``\\S+``
+    tokens of ``str.lower`` text; token hash = top 8 bytes of md5),
+    which DuckDB can replicate (``md5()``) -- the SQL-mirrorable
+    oracle path.
     """
-    toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
-    lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
-    flat = [s for tk in toks_per for s in tk]
-    n = len(texts)
-    sigs = np.zeros(n, dtype=np.uint64)
-    if not flat:
-        return sigs
-    if hasher == "md5":
+    if hasher == "fast":
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            arr = texts
+        elif isinstance(texts, pd.Series):
+            arr = pa.Array.from_pandas(texts)
+        else:
+            arr = pa.array(list(texts), type=pa.string())
+        h, lens = _token_hashes_fast(arr)
+        n = len(lens)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if len(h) == 0:
+            return sigs
+    else:
+        toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
+        lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
+        flat = [s for tk in toks_per for s in tk]
+        n = len(texts)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if not flat:
+            return sigs
         import hashlib
 
         h = np.fromiter(
@@ -1144,8 +1237,6 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
             dtype=np.uint64,
             count=len(flat),
         )
-    else:
-        h = pd.util.hash_array(np.array(flat, dtype=object))  # (N,) uint64
     # Bit counting runs as float32 `add.reduceat` over doc-aligned
     # TOKEN chunks. Two measured pathologies drove this shape (r3):
     # this numpy's integer reduceat is 12-24x slower than its float32
@@ -1189,7 +1280,8 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id", hasher="fast") -> pa.Table:
-    sigs = simhash_texts(batch.column(text_col).to_pylist(), hasher=hasher)
+    col = batch.column(text_col)
+    sigs = simhash_texts(col if hasher == "fast" else col.to_pylist(), hasher=hasher)
     return pa.table({id_col: batch.column(id_col), "simhash": pa.array(sigs, type=pa.uint64())})
 
 

@@ -600,7 +600,9 @@ class _NormalizeFused:
         if self.simhash:
             from engine.dedup import simhash_texts
 
-            batch["simhash"] = simhash_texts(batch[self.text_col].tolist())
+            # pass the Series straight through: the fast hasher works
+            # on the Arrow buffer, so no to_pylist materialization
+            batch["simhash"] = simhash_texts(batch[self.text_col])
         return batch
 
 

@@ -298,18 +298,16 @@ def test_simhash_chunked_kernel_parity():
     # chunks; must be bit-identical to the one-shot uint8 formula,
     # including empty docs, ties, and docs longer than one chunk
     import numpy as np
-    import pandas as pd
 
-    from engine.dedup import _TOKEN_RE, simhash_texts
+    from engine.dedup import _token_hashes_fast, simhash_texts
 
     def one_shot(texts):
-        toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
-        lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
-        flat = [s for tk in toks_per for s in tk]
+        # same token hashes as the production path (the vectorized
+        # Arrow-buffer tokenizer); only the bit-count CHUNKING differs
+        h, lens = _token_hashes_fast(pa.array(texts, type=pa.string()))
         sigs = np.zeros(len(texts), dtype=np.uint64)
-        if not flat:
+        if len(h) == 0:
             return sigs
-        h = pd.util.hash_array(np.array(flat, dtype=object))
         bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         nz = lens > 0
         starts = np.cumsum(lens) - lens
@@ -410,3 +408,37 @@ def test_pairs_buckets_is_a_pure_function_of_the_data(ray_session, tmp_path):
     big = tmp_path / "big.bin"
     big.write_bytes(b"\0" * (64 << 20))
     assert _pairs_buckets(_FakeBytes([str(big)])) == 9  # 64MB/8MB + 1
+
+
+def test_fast_tokenizer_boundary_parity_with_reference_regex():
+    """The vectorized byte-level tokenizer must agree with the scalar
+    reference tokenizer (lower + \\S+ findall) on token COUNTS for
+    ASCII text (hash values differ by design; the md5 oracle path
+    keeps exact reference semantics). Exercises the edge that bit the
+    prototype: empty docs at the very start/end of the buffer, and a
+    sliced (offset) Arrow array."""
+    from engine.dedup import _TOKEN_RE, _token_hashes_fast
+
+    docs = [
+        "",                      # empty doc FIRST (offset-0 forcing)
+        "Hello  World",          # run of spaces
+        "a\tb\nc\x1c d\x1d\x1e\x1f e",  # control whitespace
+        "   leading and trailing   ",
+        None,                    # null
+        "single",
+        "",                      # empty doc LAST (past-the-end forcing)
+    ]
+    arr = pa.array(docs, type=pa.string())
+    h, lens = _token_hashes_fast(arr)
+    ref = np.array([len(_TOKEN_RE.findall((x or "").lower())) for x in docs])
+    assert (lens == ref).all(), (lens, ref)
+    assert len(h) == ref.sum()
+    # sliced array with a nonzero offset must give the same per-doc counts
+    h2, lens2 = _token_hashes_fast(arr.slice(1, 5))
+    assert (lens2 == ref[1:6]).all()
+    # identical tokens hash identically wherever they appear
+    ha, la = _token_hashes_fast(pa.array(["tok other tok"]))
+    assert ha[0] == ha[2] and ha[0] != ha[1]
+    # case-insensitive like the reference (ASCII)
+    hb, _ = _token_hashes_fast(pa.array(["TOK"]))
+    assert hb[0] == ha[0]

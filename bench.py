@@ -149,8 +149,25 @@ def run_headline() -> dict:
 
         t0 = time.perf_counter()
         # sanitize fused into the normalize stage: one map pass over the
-        # full data instead of two (ingest's own sanitize disabled)
-        src = normalize_stage(ray.data.read_parquet(in_dir), cfg, sanitize_cols=("text",))
+        # full data instead of two (ingest's own sanitize disabled).
+        # Task-count pin, same rationale as the minhash/ann micro reads
+        # below: the input is 64 files regardless of EXPAND, and at
+        # EXPAND=40 Ray's read planner coalesces the ~28 MB input to
+        # ~12 blocks while map_batches bundles blocks up to batch_size
+        # rows per task -- 12 tasks of ~1.4 core-sec of normalize
+        # kernel on a 32-CPU session. Pinning blocks to the file count
+        # and capping the bundle at one file's rows makes the stage
+        # 64-way at EVERY parallelism level (a constant of the data
+        # layout, so the N-vs-4N scaling dataflow is identical; at
+        # production block sizes the planner never coalesces this way
+        # and the default batch_size stands).
+        per_file = (rows + 63) // 64
+        norm_cfg = EngineConfig(batch_size=min(cfg.batch_size, per_file))
+        src = normalize_stage(
+            ray.data.read_parquet(in_dir, override_num_blocks=64),
+            norm_cfg,
+            sanitize_cols=("text",),
+        )
         ingest(table, src, cfg, sanitize_cols=())
         timings["ingest"] = round(time.perf_counter() - t0, 3)
 

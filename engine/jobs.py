@@ -306,9 +306,13 @@ def _merge_small_task(
     from engine.merge import merge_fold_passthrough
     from engine.writer import write_block
 
-    merged = pa.concat_tables(
-        [align_to_schema(pq.read_table(p), schema) for p in paths]
-    )
+    # Arrow releases the GIL during IO+decompression, so overlap the
+    # small-file reads in a thread pool (same idiom as compact's bins)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+        tables = list(ex.map(pq.read_table, paths))
+    merged = pa.concat_tables([align_to_schema(t, schema) for t in tables])
     out = merge_fold_passthrough(merged.to_pandas(), key, ts)
     block = pa.Table.from_pandas(out, preserve_index=False)
     return [write_block(block, data_dir, prefix, stats_cols=stats_cols)]
@@ -467,9 +471,12 @@ def _cluster_small_task(
     from engine.writer import write_block
     from engine.zorder import add_cluster_key
 
-    merged = pa.concat_tables(
-        [align_to_schema(pq.read_table(p), schema) for p in paths]
-    )
+    # overlap small-file reads in a thread pool (same idiom as compact)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+        tables = list(ex.map(pq.read_table, paths))
+    merged = pa.concat_tables([align_to_schema(t, schema) for t in tables])
     keyed = add_cluster_key(merged, codes, curve=curve, cols=cols)
     keyed = keyed.take(pc.sort_indices(keyed, sort_keys=[(ZKEY_COL, "ascending")]))
     per = rows_per_file or len(keyed) or 1

@@ -155,16 +155,18 @@ def run_headline() -> dict:
         # EXPAND=40 Ray's read planner coalesces the ~28 MB input to
         # ~12 blocks while map_batches bundles blocks up to batch_size
         # rows per task -- 12 tasks of ~1.4 core-sec of normalize
-        # kernel on a 32-CPU session. Pinning blocks to the file count
-        # and capping the bundle at one file's rows makes the stage
-        # 64-way at EVERY parallelism level (a constant of the data
-        # layout, so the N-vs-4N scaling dataflow is identical; at
-        # production block sizes the planner never coalesces this way
-        # and the default batch_size stands).
-        per_file = (rows + 63) // 64
-        norm_cfg = EngineConfig(batch_size=min(cfg.batch_size, per_file))
+        # kernel on a 32-CPU session. Rule: one read block per
+        # batch_size rows, floored at one per input file (the planner
+        # may SPLIT files, never coalesce below the file count). A pure
+        # function of the data (rows), no CPU term, so the N-vs-4N
+        # scaling dataflow is identical. Measured at 5 M rows the
+        # planner's own 256 blocks beat a hard 64-block pin 34 vs 56 s
+        # (big tasks straggle at the tail), hence the rows term.
+        nblocks = max(64, rows // cfg.batch_size)
+        per_block = (rows + nblocks - 1) // nblocks
+        norm_cfg = EngineConfig(batch_size=min(cfg.batch_size, per_block))
         src = normalize_stage(
-            ray.data.read_parquet(in_dir, override_num_blocks=64),
+            ray.data.read_parquet(in_dir, override_num_blocks=nblocks),
             norm_cfg,
             sanitize_cols=("text",),
         )

@@ -1237,19 +1237,23 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
             dtype=np.uint64,
             count=len(flat),
         )
-    # Bit counting runs as float32 `add.reduceat` over doc-aligned
-    # TOKEN chunks. Two measured pathologies drove this shape (r3):
-    # this numpy's integer reduceat is 12-24x slower than its float32
-    # SIMD path (uint8 input promoting to uint64 was 33s/Mtok; float32
-    # is 1.4s/Mtok), and one batch-sized bits matrix (64B/token) is a
-    # first-touch page-fault storm that made the stage scale INVERSELY
-    # 8->32 workers (50s -> 192s on the 2.4M-row bench input). Chunks
-    # of <=32k tokens keep the temporary ~8MB so the allocator reuses
-    # one warm arena. float32 sums are exact below 2^24 tokens/doc;
-    # longer docs (pathological) fall back to the int64 loop.
+    # Bit counting runs as `add.reduceat(bits_u8, ..., dtype=int32)`
+    # over doc-aligned TOKEN chunks. Three measured findings drove this
+    # shape (r3-r4): reduceat accumulating uint8 INTO uint64 via
+    # dtype-less promotion is 12-24x slower than its SIMD paths (33
+    # s/Mtok), while an explicit ``dtype=np.int32`` reads the uint8
+    # bits directly at full speed -- 2.7x less memory traffic than the
+    # round-3 ``astype(float32)`` copy (1.78 -> 0.65 s/1.35 Mtok) and
+    # exact for any document below 2^31 tokens, so the float32 2^24
+    # fallback is gone. And one batch-sized bits matrix (64 B/token)
+    # is a first-touch page-fault storm that made the stage scale
+    # INVERSELY 8->32 workers; chunks of <=32k tokens keep the
+    # temporary ~2 MB so the allocator reuses one warm arena. The
+    # stage is memory-bandwidth-bound under full-node concurrency
+    # (BASELINE.md round 4), so traffic saved here scales the whole
+    # ingest, not just this kernel.
     s_off = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=s_off[1:])
-    acc_dt = np.float32 if int(lens.max()) < (1 << 24) else np.int64
     from engine.textstats import iter_spans
 
     for r0, r1 in iter_spans(s_off, limit=32768):
@@ -1260,12 +1264,14 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
         seg_nz = seg_lens > 0
         bits = np.unpackbits(
             h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(acc_dt)
+        )
         # reduceat over NONEMPTY doc starts: empty docs contribute no
         # tokens, so each nonempty segment runs exactly to the next
         # nonempty doc's start (or the end of the chunk)
-        ones = np.add.reduceat(bits, s_off[r0:r1][seg_nz] - lo, axis=0)
-        sig_bits = (2 * ones) > seg_lens[seg_nz, None].astype(acc_dt)
+        ones = np.add.reduceat(
+            bits, s_off[r0:r1][seg_nz] - lo, axis=0, dtype=np.int32
+        )
+        sig_bits = (2 * ones.astype(np.int64)) > seg_lens[seg_nz, None]
         sigs[np.flatnonzero(seg_nz) + r0] = (
             np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little")
             .view(np.uint64)

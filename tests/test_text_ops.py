@@ -356,3 +356,24 @@ def test_fingerprint_oracle_sql_parity(ray_session, sf_dir):
     assert (got.doc_id.to_numpy() == oracle.doc_id.to_numpy()).all()
     assert (got.fingerprint.to_numpy().astype(np.uint64) == oracle.fingerprint.to_numpy().astype(np.uint64)).all()
     assert (got.n_grams.to_numpy() == oracle.n_grams.to_numpy()).all()
+
+
+def test_per_row_int32_accumulator_exact_past_float32_cap():
+    # round-4 regression: the reduceat accumulator is an explicit int32
+    # over uint8 input. The retired float32 path lost exactness at 2^24
+    # ones per segment and the code switched implementations at
+    # len(mask) >= 2^24; assert the single unconditional path is exact
+    # ACROSS that old boundary and at a segment sum above 2^24.
+    import numpy as np
+
+    from engine.textstats import _per_row
+
+    big = (1 << 24) + 3  # one row's span crosses the old cap
+    mask = np.ones(big + 7, dtype=bool)
+    mask[big:] = False
+    off = np.array([0, big, big, big + 7], dtype=np.int64)  # empty middle row
+    r = _per_row(mask, off, 3)
+    assert r.tolist() == [big, 0, 0]
+    # 2^24 + 1 ones: float32 accumulation would have returned 2^24
+    off2 = np.array([0, big], dtype=np.int64)
+    assert _per_row(np.ones(big, dtype=bool), off2, 1)[0] == big

@@ -1127,6 +1127,11 @@ _LOWER_BYTES[65:91] += 32
 #: gather temporaries ~9 MB so the allocator reuses one warm arena
 #: (same first-touch page-fault lesson as the bit-count kernel below)
 _TOKHASH_CHUNK = 65536
+#: _TOK_MASK16[k] keeps the first k of 16 bytes: zeroes a short
+#: token's trailing window bytes in one vectorized AND (row k has k
+#: leading 0xFF) -- the gather reads a fixed 16-byte window per token
+#: and the mask restores "first min(len,16) bytes, zero-padded"
+_TOK_MASK16 = ((np.arange(16)[None, :] < np.arange(17)[:, None]) * 255).astype(np.uint8)
 
 
 def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -1159,10 +1164,17 @@ def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if n == 0 or hi == lo:
         return np.empty(0, np.uint64), np.zeros(n, np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    B = _LOWER_BYTES[data[lo:hi]]
+    nb = hi - lo
+    # 15 zero pad bytes let the hash step read a FIXED 16-byte window
+    # per token start (strided view + one row gather) instead of
+    # building a (tokens, 16) int64 index matrix -- 3.1x on the hash
+    # loop, bit-identical (short tokens are masked by _TOK_MASK16,
+    # matching the old clamp-then-zero bytes exactly)
+    B = np.empty(nb + 15, np.uint8)
+    np.take(_LOWER_BYTES, data[lo:hi], out=B[:nb])
+    B[nb:] = 0
     offs = (offs - lo).astype(np.int64)
-    nb = len(B)
-    ws = _WS_BYTES[B]
+    ws = _WS_BYTES[B[:nb]]
     # force doc boundaries as token breaks -- only at NON-EMPTY docs:
     # an empty doc's offset equals its neighbor's (or sits past the
     # last byte), and indexing with it would mark a false break
@@ -1182,14 +1194,14 @@ def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     lens = np.bincount(doc_of, minlength=n).astype(np.int64)
     t_count = len(starts)
     h = np.empty(t_count, np.uint64)
-    rng = np.arange(16, dtype=np.int64)
+    # each token's first-16-bytes window as ONE gathered row of an
+    # overlapping strided view (needs the 15-byte pad above); trailing
+    # bytes past the token end are zeroed by the mask LUT
+    win = np.lib.stride_tricks.as_strided(B, shape=(nb, 16), strides=(1, 1))
     for c0 in range(0, t_count, _TOKHASH_CHUNK):
         c1 = min(c0 + _TOKHASH_CHUNK, t_count)
-        idx = starts[c0:c1, None] + rng
-        valid = idx < ends[c0:c1, None]
-        np.minimum(idx, nb - 1, out=idx)
-        b16 = B[idx]
-        b16[~valid] = 0
+        b16 = win[starts[c0:c1]]
+        b16 &= _TOK_MASK16[np.minimum(tl[c0:c1], 16).astype(np.int64)]
         w = b16.view(np.uint64)
         h[c0:c1] = _mix64(w[:, 0] ^ _mix64(w[:, 1] ^ tl[c0:c1]))
     return h, lens
@@ -1237,46 +1249,62 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
             dtype=np.uint64,
             count=len(flat),
         )
-    # Bit counting runs as `add.reduceat(bits_u8, ..., dtype=int32)`
-    # over doc-aligned TOKEN chunks. Three measured findings drove this
-    # shape (r3-r4): reduceat accumulating uint8 INTO uint64 via
-    # dtype-less promotion is 12-24x slower than its SIMD paths (33
-    # s/Mtok), while an explicit ``dtype=np.int32`` reads the uint8
-    # bits directly at full speed -- 2.7x less memory traffic than the
-    # round-3 ``astype(float32)`` copy (1.78 -> 0.65 s/1.35 Mtok) and
-    # exact for any document below 2^31 tokens, so the float32 2^24
-    # fallback is gone. And one batch-sized bits matrix (64 B/token)
-    # is a first-touch page-fault storm that made the stage scale
-    # INVERSELY 8->32 workers; chunks of <=32k tokens keep the
-    # temporary ~2 MB so the allocator reuses one warm arena. The
-    # stage is memory-bandwidth-bound under full-node concurrency
-    # (BASELINE.md round 4), so traffic saved here scales the whole
-    # ingest, not just this kernel.
+    # Bit counting sums the per-token bit matrix per doc. Measured
+    # findings driving this shape (r3-r4): (a) `add.reduceat` with
+    # dtype-less integer promotion is 12-24x slower than its SIMD
+    # paths, and even with an explicit int32 accumulator it pays ~4 us
+    # of per-SEGMENT dispatch -- ruinous for ~36-token docs; (b) one
+    # batch-sized bits matrix (64 B/token) is a first-touch page-fault
+    # storm that made the stage scale INVERSELY 8->32 workers, so work
+    # stays in <=32k-token chunks (~2 MB warm arena); (c) the stage is
+    # memory-bandwidth-bound under full-node concurrency (BASELINE.md
+    # round 4). Shape: sort NONEMPTY docs by token count, permute the
+    # token hashes into that order (8 B/token gather), then docs of
+    # EQUAL length L sum as one `reshape(k, L, 64).sum(axis=1)` --
+    # zero per-segment dispatch, one SIMD pass, exact in int32 to
+    # 2^31 tokens/doc (2.6x over the chunked reduceat, bit-identical).
+    nz = lens > 0
+    if not nz.any():
+        return sigs
+    docs = np.flatnonzero(nz)
+    order = np.argsort(lens[docs], kind="stable")
+    docs_s = docs[order]
+    dl_s = lens[docs_s]
     s_off = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=s_off[1:])
+    # token permutation: tokens of docs in length-sorted doc order
+    tstart = np.cumsum(dl_s) - dl_s
+    tot = int(dl_s.sum())
+    hp = h[np.repeat(s_off[docs_s] - tstart, dl_s) + np.arange(tot, dtype=np.int64)]
+    # equal-length runs in the sorted doc sequence
+    bnd = np.flatnonzero(np.diff(dl_s)) + 1
+    g0s = np.concatenate(([0], bnd))
+    g1s = np.concatenate((bnd, [len(dl_s)]))
+    ones = np.empty((len(dl_s), 64), np.int64)
     from engine.textstats import iter_spans
 
-    for r0, r1 in iter_spans(s_off, limit=32768):
-        lo, hi = int(s_off[r0]), int(s_off[r1])
-        if lo == hi:
-            continue
-        seg_lens = lens[r0:r1]
-        seg_nz = seg_lens > 0
+    soff_s = np.concatenate((tstart, [tot]))
+    for r0, r1 in iter_spans(soff_s, limit=32768):
+        lo, hi = int(soff_s[r0]), int(soff_s[r1])
         bits = np.unpackbits(
-            h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            hp[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )
-        # reduceat over NONEMPTY doc starts: empty docs contribute no
-        # tokens, so each nonempty segment runs exactly to the next
-        # nonempty doc's start (or the end of the chunk)
-        ones = np.add.reduceat(
-            bits, s_off[r0:r1][seg_nz] - lo, axis=0, dtype=np.int32
-        )
-        sig_bits = (2 * ones.astype(np.int64)) > seg_lens[seg_nz, None]
-        sigs[np.flatnonzero(seg_nz) + r0] = (
-            np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little")
-            .view(np.uint64)
-            .ravel()
-        )
+        # equal-length runs clipped to this chunk (chunk bounds are
+        # doc-aligned, so every clipped run still reshapes cleanly)
+        i0, i1 = np.searchsorted(g0s, r0, side="right") - 1, np.searchsorted(g0s, r1)
+        for g0, g1 in zip(g0s[i0:i1], g1s[i0:i1]):
+            c0, c1 = max(int(g0), r0), min(int(g1), r1)
+            if c0 >= c1:
+                continue
+            L = int(dl_s[c0])
+            blk = bits[tstart[c0] - lo : tstart[c0] - lo + (c1 - c0) * L]
+            ones[c0:c1] = blk.reshape(c1 - c0, L, 64).sum(axis=1, dtype=np.int32)
+    sig_bits = (2 * ones) > dl_s[:, None]
+    sigs[docs_s] = (
+        np.packbits(sig_bits.astype(np.uint8), axis=1, bitorder="little")
+        .view(np.uint64)
+        .ravel()
+    )
     return sigs
 
 

@@ -340,10 +340,21 @@ def merge_into(
     blocks = max(_shuffle_blocks(table, cfg, live=live), int(cfg.merge_buckets or 0))
 
     def build():
-        ds = table.scan()
+        # coalesce AT THE READ (override_num_blocks) instead of a
+        # repartition exchange after it: the sort-shuffle's cost grows
+        # with input block count (the planner splits these files to
+        # ~290 tiny blocks and the exchange degenerates -- measured
+        # 119-193 s vs 6.6 s at the 2.4 M-row scaling config), and a
+        # post-read repartition fixes that only by paying a second
+        # all-to-all (10.9 s -> 6.9 s at 8 CPUs without it). blocks is
+        # bytes-derived, so each read task stays ~32 MB regardless of
+        # file count. A union'd source keeps its own blocks and rides
+        # one repartition: its block layout is unknown here and the
+        # sort degenerates on many tiny blocks.
+        ds = table.scan(override_num_blocks=blocks)
         if source is not None:
-            ds = ds.union(source)
-        return ds.repartition(blocks)
+            ds = ds.union(source).repartition(blocks)
+        return ds
 
     names = set(schema.names) if schema is not None else set()
     wide = [c for c in (cfg.merge_wide_cols or ()) if c in names]

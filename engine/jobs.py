@@ -290,7 +290,7 @@ def _merge_small_task(
     LWW fold -> write. Only reached when the table's live bytes fit one
     worker's heap (``cfg.merge_small_bytes``) and there is no source
     Dataset (a source's size is unknown without executing it). The fold
-    is :func:`engine.merge.merge_fold_passthrough` -- the SAME function
+    is :func:`engine.merge.merge_fold_passthrough_arrow` -- the SAME function
     the distributed per-bucket path runs, applied to all rows at once:
     bucketing is purely a parallelism device over a row-set fold, so
     semantics are unchanged by construction. At the driver bench's
@@ -303,7 +303,7 @@ def _merge_small_task(
     columns null-filled, ``__``-internals dropped)."""
     import pyarrow.parquet as pq
 
-    from engine.merge import merge_fold_passthrough
+    from engine.merge import merge_fold_passthrough_arrow
     from engine.writer import write_block
 
     # Arrow releases the GIL during IO+decompression, so overlap the
@@ -313,8 +313,7 @@ def _merge_small_task(
     with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
         tables = list(ex.map(pq.read_table, paths))
     merged = pa.concat_tables([align_to_schema(t, schema) for t in tables])
-    out = merge_fold_passthrough(merged.to_pandas(), key, ts)
-    block = pa.Table.from_pandas(out, preserve_index=False)
+    block = merge_fold_passthrough_arrow(merged, key, ts)
     return [write_block(block, data_dir, prefix, stats_cols=stats_cols)]
 
 

@@ -92,6 +92,72 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     return out.reset_index()[df.columns.tolist()]
 
 
+def _is_textual(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def merge_fold_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
+    """:func:`merge_fold` re-expressed as Arrow kernels + O(n) numpy
+    segment passes -- no pandas frame, no object-dtype round trip.
+
+    Bit-identical semantics by construction (parity-fuzzed in
+    tests/test_merge.py): sort by (key, ts) stable with null ts first
+    (pandas sorts by ts alone, but per-key relative order -- which is
+    all the fold reads -- is identical); per key and column take the
+    LAST non-missing value ("missing" = null, plus ""/b"" for
+    string/binary columns, reference csv_handler.py:91-95) else the
+    anchor row's literal value. Output types are the INPUT Arrow types:
+    the pandas path nulls-upcast int->float64 (a uint64 through a
+    53-bit mantissa), this path cannot.
+
+    Assumes ``key`` has no nulls/empties (callers split passthrough
+    rows first -- :func:`merge_fold_passthrough_arrow`).
+    """
+    if len(t) == 0:
+        return t
+    idx = pc.sort_indices(
+        t.select([key, ts]),
+        sort_keys=[(key, "ascending"), (ts, "ascending")],
+        null_placement="at_start",
+    )
+    t = t.take(idx)
+    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy()
+    changed = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(np.r_[True, changed])
+    n = len(t)
+    row_idx = np.arange(n, dtype=np.int64)
+    cols = {}
+    for name in t.column_names:
+        if name == key:
+            cols[name] = t.column(name).take(pa.array(starts))
+            continue
+        arr = t.column(name).combine_chunks()
+        missing = pc.is_null(arr)
+        if _is_textual(arr.type):
+            missing = pc.or_(missing, pc.equal(pc.binary_length(arr), 0))
+        ok = pc.fill_null(pc.invert(missing), False).to_numpy(zero_copy_only=False)
+        cand = np.where(ok, row_idx, np.int64(-1))
+        last = np.maximum.reduceat(cand, starts)
+        cols[name] = arr.take(pa.array(np.where(last >= 0, last, starts)))
+    return pa.table(cols, schema=t.schema)
+
+
+def merge_fold_passthrough_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
+    """Arrow-side :func:`merge_fold_passthrough`: NULL/empty-key rows
+    pass through unmerged, everything else folds."""
+    null_mask = _is_missing_key(t.column(key))
+    passthrough = t.filter(null_mask)
+    merged = merge_fold_arrow(t.filter(pc.invert(null_mask)), key, ts)
+    if len(passthrough) == 0:
+        return merged
+    return pa.concat_tables([merged, passthrough])
+
+
 from engine.dedup import _mix64  # single 64-bit finalizer definition repo-wide
 
 
@@ -416,10 +482,10 @@ def merge_datasets(
         fn_kwargs={"key": key, "num_buckets": num_buckets},
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        return merge_fold_passthrough(df.drop(columns=["__bucket"]), key, ts)
+    def fold(t: pa.Table) -> pa.Table:
+        return merge_fold_passthrough_arrow(t.drop_columns(["__bucket"]), key, ts)
 
-    return keyed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+    return keyed.groupby("__bucket").map_groups(fold, batch_format="pyarrow")
 
 
 def merge_fold_passthrough(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:

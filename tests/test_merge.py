@@ -186,6 +186,96 @@ def test_merge_fold_matches_reference_semantics(rows_spec):
     assert got == exp
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, _vals, _vals),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_arrow_fold_matches_reference_semantics(rows_spec):
+    from engine.merge import merge_fold_passthrough_arrow
+
+    rows = [
+        {"url": k, "warc_ts": _ts(i), "text": t, "lang": l}
+        for i, (k, t, l) in enumerate(rows_spec)
+    ]
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"]).astype("datetime64[us]")
+    got_df = merge_fold_passthrough_arrow(
+        pa.Table.from_pandas(df, preserve_index=False), "url", "warc_ts"
+    ).to_pandas()
+    got = {
+        (r.url if pd.notna(r.url) else None, r.warc_ts): (
+            r.text if pd.notna(r.text) else None,
+            r.lang if pd.notna(r.lang) else None,
+        )
+        for r in got_df.itertuples()
+    }
+    exp_rows = _reference_merge(rows)
+    exp = {
+        (r["url"], pd.Timestamp(r["warc_ts"])): (r["text"], r["lang"])
+        for r in exp_rows
+    }
+    assert len(got_df) == len(exp_rows)
+    assert got == exp
+
+
+def test_arrow_fold_parity_with_pandas_fold_typed_fuzz():
+    """Arrow fold == pandas fold on randomized TYPED tables: binary
+    payloads, nullable ints, uint64 at full width, NaT and tied
+    timestamps, empty strings/bytes, all-empty keys."""
+    import numpy as np
+
+    from engine.merge import merge_fold_passthrough, merge_fold_passthrough_arrow
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        keys = rng.choice(["u1", "u2", "u3", "u4", "hot", ""], size=n).astype(object)
+        keys[rng.random(n) < 0.1] = None
+        # ties on purpose: ts drawn from a tiny set, some NaT, some pre-epoch
+        ts_pool = np.array([-2, -1, 0, 1, 2, 10**6, 10**6], dtype="datetime64[us]")
+        ts = ts_pool[rng.integers(0, len(ts_pool), n)].astype("datetime64[us]")
+        ts_obj = pd.Series(ts)
+        ts_obj[rng.random(n) < 0.15] = pd.NaT
+        text = rng.choice(["", "alpha", "beta", None], size=n).astype(object)
+        blob = rng.choice([b"", b"\x00\x01", b"payload", None], size=n).astype(object)
+        ints = pd.array(rng.integers(0, 100, n), dtype="Int64")
+        ints[rng.random(n) < 0.2] = pd.NA
+        big = rng.integers(0, 2**63, n, dtype=np.uint64) | np.uint64(1 << 63)
+        df = pd.DataFrame(
+            {
+                "url": keys,
+                "warc_ts": ts_obj.astype("datetime64[us]"),
+                "text": text,
+                "html": blob,
+                "rank": ints,
+                "simhash": big,
+            }
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        got = merge_fold_passthrough_arrow(t, "url", "warc_ts").to_pandas()
+        exp = merge_fold_passthrough(t.to_pandas(), "url", "warc_ts")
+        order = list(exp.columns)
+
+        def canon(d):
+            d = d[order].copy()
+            d["simhash"] = d["simhash"].astype("uint64")
+            return d.sort_values(order, na_position="first", key=lambda s: s.astype(str)).reset_index(
+                drop=True
+            )
+
+        g, e = canon(got), canon(exp)
+        assert len(g) == len(e), f"trial {trial}: {len(g)} vs {len(e)} rows"
+        for c in order:
+            ga, ea = g[c].tolist(), e[c].tolist()
+            ga = [None if (not isinstance(v, (bytes, str)) and pd.isna(v)) else v for v in ga]
+            ea = [None if (not isinstance(v, (bytes, str)) and pd.isna(v)) else v for v in ea]
+            assert ga == ea, f"trial {trial}: column {c} diverged"
+
+
 def test_numeric_columns_zero_overwrites_nan_skipped():
     # reference rule `value not in ("", None)`: numeric 0 DOES overwrite,
     # missing (None/NaN) does not

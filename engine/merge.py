@@ -125,8 +125,14 @@ def merge_fold_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
         sort_keys=[(key, "ascending"), (ts, "ascending")],
         null_placement="at_start",
     )
-    t = t.take(idx)
-    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy()
+    # never materialize the sorted table (a full-width gather of the
+    # whole bucket, html payload included): group boundaries need only
+    # the sorted KEY column, per-column missing-masks are computed on
+    # the UNSORTED arrays and permuted as numpy bools, and the one
+    # full-width gather that remains is of the ~1/D winner rows
+    idx_np = idx.to_numpy()
+    keys_sorted = t.column(key).take(idx).combine_chunks()
+    codes = pc.dictionary_encode(keys_sorted).indices.to_numpy()
     changed = codes[1:] != codes[:-1]
     starts = np.flatnonzero(np.r_[True, changed])
     n = len(t)
@@ -134,16 +140,17 @@ def merge_fold_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
     cols = {}
     for name in t.column_names:
         if name == key:
-            cols[name] = t.column(name).take(pa.array(starts))
+            cols[name] = keys_sorted.take(pa.array(starts))
             continue
         arr = t.column(name).combine_chunks()
         missing = pc.is_null(arr)
         if _is_textual(arr.type):
             missing = pc.or_(missing, pc.equal(pc.binary_length(arr), 0))
         ok = pc.fill_null(pc.invert(missing), False).to_numpy(zero_copy_only=False)
-        cand = np.where(ok, row_idx, np.int64(-1))
+        cand = np.where(ok[idx_np], row_idx, np.int64(-1))
         last = np.maximum.reduceat(cand, starts)
-        cols[name] = arr.take(pa.array(np.where(last >= 0, last, starts)))
+        pick_sorted = np.where(last >= 0, last, starts)
+        cols[name] = arr.take(pa.array(idx_np[pick_sorted]))
     return pa.table(cols, schema=t.schema)
 
 

@@ -120,38 +120,53 @@ def merge_fold_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
     """
     if len(t) == 0:
         return t
-    idx = pc.sort_indices(
-        t.select([key, ts]),
-        sort_keys=[(key, "ascending"), (ts, "ascending")],
-        null_placement="at_start",
-    )
-    # never materialize the sorted table (a full-width gather of the
-    # whole bucket, html payload included): group boundaries need only
-    # the sorted KEY column, per-column missing-masks are computed on
-    # the UNSORTED arrays and permuted as numpy bools, and the one
-    # full-width gather that remains is of the ~1/D winner rows
-    idx_np = idx.to_numpy()
-    keys_sorted = t.column(key).take(idx).combine_chunks()
-    codes = pc.dictionary_encode(keys_sorted).indices.to_numpy()
-    changed = codes[1:] != codes[:-1]
-    starts = np.flatnonzero(np.r_[True, changed])
-    n = len(t)
-    row_idx = np.arange(n, dtype=np.int64)
+    idx_np, starts, keys_sorted = _fold_plan(t, key, ts)
     cols = {}
     for name in t.column_names:
         if name == key:
             cols[name] = keys_sorted.take(pa.array(starts))
             continue
         arr = t.column(name).combine_chunks()
-        missing = pc.is_null(arr)
-        if _is_textual(arr.type):
-            missing = pc.or_(missing, pc.equal(pc.binary_length(arr), 0))
-        ok = pc.fill_null(pc.invert(missing), False).to_numpy(zero_copy_only=False)
-        cand = np.where(ok[idx_np], row_idx, np.int64(-1))
-        last = np.maximum.reduceat(cand, starts)
-        pick_sorted = np.where(last >= 0, last, starts)
-        cols[name] = arr.take(pa.array(idx_np[pick_sorted]))
+        cols[name] = arr.take(pa.array(_winner_pick(arr, idx_np, starts)))
     return pa.table(cols, schema=t.schema)
+
+
+def _fold_plan(t: pa.Table, key: str, ts: str):
+    """(idx_np, starts, keys_sorted) for the (key, ts)-stable-sorted
+    segment layout the fold reads. The sorted table is never
+    materialized (a full-width gather of the whole bucket, html payload
+    included): group boundaries need only the sorted KEY column;
+    per-column missing-masks are computed on the UNSORTED arrays and
+    permuted as numpy bools; the one full-width gather that remains is
+    of the ~1/D winner rows."""
+    idx = pc.sort_indices(
+        t.select([key, ts]),
+        sort_keys=[(key, "ascending"), (ts, "ascending")],
+        null_placement="at_start",
+    )
+    idx_np = idx.to_numpy()
+    keys_sorted = t.column(key).take(idx).combine_chunks()
+    codes = pc.dictionary_encode(keys_sorted).indices.to_numpy()
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    return idx_np, starts, keys_sorted
+
+
+def _last_ok_pick(ok: np.ndarray, idx_np: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per group: ORIGINAL-coordinates index of the last row (in
+    (key, ts) order) where ``ok``, else the group's anchor row."""
+    cand = np.where(ok[idx_np], np.arange(len(idx_np), dtype=np.int64), np.int64(-1))
+    last = np.maximum.reduceat(cand, starts)
+    return idx_np[np.where(last >= 0, last, starts)]
+
+
+def _winner_pick(arr, idx_np: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Original-coordinates winner row per group for one value column:
+    last non-missing in (key, ts) order, else the anchor row."""
+    missing = pc.is_null(arr)
+    if _is_textual(arr.type):
+        missing = pc.or_(missing, pc.equal(pc.binary_length(arr), 0))
+    ok = pc.fill_null(pc.invert(missing), False).to_numpy(zero_copy_only=False)
+    return _last_ok_pick(ok, idx_np, starts)
 
 
 def merge_fold_passthrough_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
@@ -284,38 +299,39 @@ def merge_datasets_wide(
             arr = pc.cast(arr, ts_us, safe=False)
         return pc.fill_null(pc.cast(arr, pa.int64()), _TS_MIN)
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["__bucket"])
-        merged = merge_fold(df.drop(columns=has_cols), key, ts)
-        # null ts sorts FIRST (oldest writer) -- same LWW rule as
-        # merge_fold; winner timestamps leave the fold as canonical
-        # int64 (NaT -> INT64_MIN) so they survive hashing and joins
-        s = df.sort_values(ts, kind="stable", na_position="first")
-        anchor_ts = s.groupby(key, sort=False)[ts].first()  # loop-invariant
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        if len(t) == 0:
+            return t.drop_columns(has_cols)
+        # same Arrow fold engine as the single-pass path (`_fold_plan`
+        # segment layout; null ts sorts FIRST = oldest writer). Winner
+        # timestamps leave the fold as canonical int64 (NaT ->
+        # INT64_MIN) through the ONE shared cast (`_ts_i64_arrow`) so
+        # they survive hashing and joins. The winning ts of a wide
+        # column is the ts of the last row with a non-empty payload
+        # (the __has marker), else the anchor row's ts -- a __has mask
+        # fed to the same last-ok segment pick the value columns use.
+        idx_np, starts, keys_sorted = _fold_plan(t, key, ts)
+        cols = {}
+        for name in light_cols:
+            if name == key:
+                cols[name] = keys_sorted.take(pa.array(starts))
+                continue
+            arr = t.column(name).combine_chunks()
+            cols[name] = arr.take(pa.array(_winner_pick(arr, idx_np, starts)))
+        merged = pa.table(cols)
+        tsi = _ts_i64_arrow(t.column(ts).combine_chunks()).to_numpy(zero_copy_only=False)
         for w in wide_cols:
-            wts = s[s[f"__has_{w}"]].groupby(key, sort=False)[ts].last()
-            winner = anchor_ts.copy()
-            winner.update(wts)
-            mapped = merged[key].map(winner)
-            if ts_is_timestamp:
-                # an object-dtype map fallback or a ns-unit source must
-                # land on the SAME canonical int64 the Arrow payload
-                # side computes -- one shared cast path, no pandas astype
-                dt = pd.to_datetime(mapped)
-                if getattr(dt.dt, "tz", None) is not None:
-                    dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
-                merged[f"__wts_{w}"] = _ts_i64_arrow(
-                    pa.Array.from_pandas(dt)
-                ).to_numpy(zero_copy_only=False)
-            else:
-                merged[f"__wts_{w}"] = (
-                    pd.to_numeric(mapped).fillna(_TS_MIN).astype(np.int64)
-                )
+            has = pc.fill_null(
+                t.column(f"__has_{w}").combine_chunks(), False
+            ).to_numpy(zero_copy_only=False)
+            pick = _last_ok_pick(has, idx_np, starts)
+            merged = merged.append_column(f"__wts_{w}", pa.array(tsi[pick], pa.int64()))
         return merged
 
     # materialize: merged_light is consumed twice (winner collection +
     # attach); without pinning, the whole phase-A shuffle re-executes
-    merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pandas").materialize()
+    merged_light = keyed.groupby("__bucket").map_groups(fold, batch_format="pyarrow").materialize()
 
     # winner set per wide column, as sorted uint64 hashes of
     # (key, ts_int64) pairs -> broadcast; membership checks are then one

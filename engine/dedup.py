@@ -56,6 +56,70 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(31))
 
 
+#: _HB_MASK8[k] keeps the first k of 8 bytes (same trick as
+#: _TOK_MASK16): zeroes a short window's tail in one vectorized AND.
+_HB_MASK8 = ((np.arange(8)[None, :] < np.arange(9)[:, None]) * 255).astype(np.uint8)
+
+#: content bytes folded per string before hash64_strings switches to
+#: "prefix + final-8-bytes + length" -- a BUCKET-SPREAD bound, not a
+#: fingerprint truncation (see docstring)
+_HASH64_MAX_ROUNDS = 32
+
+
+def hash64_strings(arr) -> np.ndarray:
+    """Vectorized 64-bit content hash of an Arrow string array -- zero
+    per-row Python (the ``pd.util.hash_array``-over-objects path builds
+    one PyObject per row first).
+
+    Folds each string's 8-byte little-endian windows through splitmix64
+    rounds on the flat UTF-8 buffer: round r processes every string
+    longer than 8r bytes at once (strided-view gather + tail-mask LUT,
+    the ``_token_hashes_fast`` idiom). Strings longer than
+    8*``_HASH64_MAX_ROUNDS`` bytes fold their prefix plus their FINAL
+    8-byte window (long URLs share prefixes; the tail disambiguates) --
+    this is a partition/bucket SPREAD hash seeded with the exact
+    length, not a content fingerprint: equal strings always collide,
+    unequal ones may, which any modulo-bucket consumer already
+    tolerates. Nulls hash to a fixed constant (callers that care
+    redirect them anyway, e.g. merge's round-robin passthrough spread).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = None
+    if arr.null_count:
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        arr = pc.fill_null(arr, "")
+    arr = arr.cast(pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    nb = hi - lo
+    B = np.empty(nb + 7, np.uint8)
+    if nb:
+        B[:nb] = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[lo:hi]
+    B[nb:] = 0
+    starts = (offs[:-1] - lo).astype(np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    h = _mix64(lens.astype(np.uint64) ^ np.uint64(0xA076_1D64_78BD_642F))
+    win = np.lib.stride_tricks.as_strided(B, shape=(max(nb, 1), 8), strides=(1, 1))
+    live = np.flatnonzero(lens > 0)
+    r = 0
+    while len(live) and r < _HASH64_MAX_ROUNDS:
+        rem = lens[live] - 8 * r
+        w8 = win[starts[live] + 8 * r] & _HB_MASK8[np.minimum(rem, 8)]
+        h[live] = _mix64(h[live] ^ w8.view(np.uint64).ravel())
+        r += 1
+        live = live[rem > 8]
+    if len(live):  # fold the final window of over-long strings
+        w8 = win[starts[live] + lens[live] - 8]
+        h[live] = _mix64(h[live] ^ w8.view(np.uint64).ravel().copy())
+    if null_mask is not None:
+        h[null_mask] = np.uint64(0x9E3779B97F4A7C15)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

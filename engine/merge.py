@@ -53,10 +53,22 @@ def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
 
 def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
     """hash(key) % B for mergeable rows; NULL/empty keys (passthrough
-    rows) are spread round-robin so no bucket becomes a null hotspot."""
-    keys = batch.column(key).to_pandas()
-    buckets = _bucket_of(keys.fillna(""), num_buckets)
-    missing = keys.isna().to_numpy() | (keys == "").to_numpy()
+    rows) are spread round-robin so no bucket becomes a null hotspot.
+
+    String keys hash on the Arrow buffer (`dedup.hash64_strings`, zero
+    per-row Python); other key types fall back to the pandas object
+    hash. Both exchanges of the wide path call this same function, so
+    bucket assignment always agrees within a run."""
+    col = batch.column(key)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        from engine.dedup import hash64_strings
+
+        buckets = (hash64_strings(col) % np.uint64(num_buckets)).astype(np.int64)
+        missing = _is_missing_key(col.combine_chunks()).to_numpy(zero_copy_only=False)
+    else:
+        keys = col.to_pandas()
+        buckets = _bucket_of(keys.fillna(""), num_buckets)
+        missing = keys.isna().to_numpy() | (keys == "").to_numpy()
     if missing.any():
         buckets[missing] = np.arange(missing.sum()) % num_buckets
     return batch.append_column("__bucket", pa.array(buckets))

@@ -442,3 +442,57 @@ def test_fast_tokenizer_boundary_parity_with_reference_regex():
     # case-insensitive like the reference (ASCII)
     hb, _ = _token_hashes_fast(pa.array(["TOK"]))
     assert hb[0] == ha[0]
+
+
+def test_hash64_strings_vectorized_content_hash():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.dedup import hash64_strings
+
+    vals = [
+        "", "a", "ab", "https://h-1.example/p/1", "https://h-1.example/p/2",
+        "x" * 8, "x" * 9, "x" * 255, "x" * 256, "x" * 257,
+        "x" * 300 + "tail-A", "x" * 300 + "tail-B", None, "éü世界",
+    ]
+    arr = pa.array(vals, pa.string())
+    h = hash64_strings(arr)
+    assert h.dtype == np.uint64 and len(h) == len(vals)
+    # deterministic and content-functional
+    assert (hash64_strings(pa.array(vals, pa.string())) == h).all()
+    # equal content hashes equal regardless of position/slicing/chunking
+    assert hash64_strings(arr.slice(3, 2))[0] == h[3]
+    chunked = pa.chunked_array([pa.array(vals[:5], pa.string()), pa.array(vals[5:], pa.string())])
+    assert (hash64_strings(chunked) == h).all()
+    # distinct inputs land apart (incl. long strings differing only in tail)
+    non_null = [x for i, x in enumerate(h) if vals[i] is not None]
+    assert len(set(non_null)) == len(non_null)
+    # ~uniform bucket spread on realistic shared-prefix urls
+    urls = pa.array([f"https://h-{i % 977}.example/p/{i}" for i in range(40000)])
+    counts = np.bincount((hash64_strings(urls) % np.uint64(64)).astype(np.int64), minlength=64)
+    assert counts.min() > 0.7 * counts.mean()
+
+
+def test_add_bucket_string_and_fallback_paths_agree_on_shape():
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.merge import _add_bucket
+
+    t = pa.table(
+        {
+            "url": ["u1", "", None, "u2", "u1"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    out = _add_bucket(t, "url", 4)
+    b = out.column("__bucket").to_numpy()
+    # same key -> same bucket; null/empty spread round-robin (0, 1)
+    assert b[0] == b[4]
+    assert sorted([b[1], b[2]]) == [0, 1]
+    # non-string key type rides the pandas fallback
+    t2 = pa.table({"k": pa.array([10, None, 10, 7], pa.int64()), "v": [1, 2, 3, 4]})
+    out2 = _add_bucket(t2, "k", 4)
+    b2 = out2.column("__bucket").to_numpy()
+    assert b2[0] == b2[2]

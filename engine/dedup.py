@@ -71,23 +71,47 @@ def hash64_strings(arr) -> np.ndarray:
     per-row Python (the ``pd.util.hash_array``-over-objects path builds
     one PyObject per row first).
 
-    Folds each string's 8-byte little-endian windows through splitmix64
-    rounds on the flat UTF-8 buffer: round r processes every string
-    longer than 8r bytes at once (strided-view gather + tail-mask LUT,
-    the ``_token_hashes_fast`` idiom). Strings longer than
-    8*``_HASH64_MAX_ROUNDS`` bytes fold their prefix plus their FINAL
-    8-byte window (long URLs share prefixes; the tail disambiguates) --
-    this is a partition/bucket SPREAD hash seeded with the exact
-    length, not a content fingerprint: equal strings always collide,
-    unequal ones may, which any modulo-bucket consumer already
-    tolerates. Nulls hash to a fixed constant (callers that care
-    redirect them anyway, e.g. merge's round-robin passthrough spread).
+    Equal strings always hash equal; nulls hash to a fixed constant
+    (callers that care redirect them anyway, e.g. merge's round-robin
+    passthrough spread). The value is deterministic WITHIN one
+    deployment (every Ray worker in a run shares this container's
+    pinned libraries) but is never persisted -- consumers are
+    in-flight bucket spread and membership prefilters only.
+
+    Fast path: polars' Rust xxhash over the Arrow buffer (~150 ms/M
+    40-char urls, 2.8x the numpy fold, 4x ``hash_array``-on-objects).
+    Fallback (no polars) is a pure-numpy splitmix64 fold of 8-byte
+    little-endian windows of the flat UTF-8 buffer: round r processes
+    every string longer than 8r bytes at once (strided-view gather +
+    tail-mask LUT, the ``_token_hashes_fast`` idiom); strings longer
+    than 8*``_HASH64_MAX_ROUNDS`` bytes fold their prefix plus their
+    FINAL 8-byte window (long URLs share prefixes; the tail
+    disambiguates) -- on that path over-long strings get a SPREAD
+    hash seeded with the exact length, not a content fingerprint,
+    which any modulo-bucket / prefilter consumer tolerates.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     null_mask = None
     if arr.null_count:
         null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+        if null_mask is not None:
+            h = h.copy()
+            h[null_mask] = np.uint64(0x9E3779B97F4A7C15)
+        return h
+    except ImportError:  # pragma: no cover - polars is in the image
+        pass
+    return _hash64_strings_numpy(arr, null_mask)
+
+
+def _hash64_strings_numpy(arr: pa.Array, null_mask=None) -> np.ndarray:
+    """The pure-numpy splitmix64 window fold (see ``hash64_strings``) --
+    the no-polars fallback, kept directly unit-tested."""
+    if null_mask is not None:
         arr = pc.fill_null(arr, "")
     arr = arr.cast(pa.large_string())
     n = len(arr)

@@ -108,11 +108,18 @@ def _canon_keys(values) -> pd.Series:
     return s.map(canon)
 
 
-def _bloom_positions(canon: pd.Series, num_bits: int, num_hashes: int):
+def _bloom_positions(canon, num_bits: int, num_hashes: int):
     """(n, k) probe positions via double hashing of the canonical keys
-    (pd.util.hash_array: fixed key -> stable across processes; numpy
-    mixing -- no per-row Python in the probe hot path)."""
-    h1 = pd.util.hash_array(canon.to_numpy(dtype=object), categorize=False)
+    (``hash64_strings`` on the Arrow buffer: pure content hash, stable
+    across processes, zero per-row Python; numpy mixing). ``canon`` is
+    a null-free Arrow string array or a pandas Series of canonical
+    strings -- build and probe sides both come through HERE, so
+    membership stays consistent."""
+    from engine.dedup import hash64_strings
+
+    if isinstance(canon, pd.Series):
+        canon = pa.array(canon, pa.string())
+    h1 = hash64_strings(canon)
     h2 = (
         (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     ) | np.uint64(1)
@@ -143,12 +150,22 @@ def bloom_semi_join(ds, keys, col: str, num_bits: int = 1 << 20, num_hashes: int
     bits_ref = ray.put(make_bloom(keys, num_bits, num_hashes))
 
     def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         bits = ray.get(bits_ref)
-        canon = _canon_keys(t.column(col).to_pylist())
-        ok = canon.notna().to_numpy()
-        mask = np.zeros(len(canon), dtype=bool)
+        arr = t.column(col).combine_chunks()
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            # canonicalization is IDENTITY for strings: probe the Arrow
+            # column directly, no to_pylist / per-row Python
+            ok = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            valid = arr.drop_null()
+        else:
+            canon = _canon_keys(arr.to_pylist())
+            ok = canon.notna().to_numpy()
+            valid = canon[ok]
+        mask = np.zeros(len(arr), dtype=bool)
         if ok.any():
-            pos = _bloom_positions(canon[ok], num_bits, num_hashes)
+            pos = _bloom_positions(valid, num_bits, num_hashes)
             hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
             mask[np.flatnonzero(ok)] = hit
         return t.filter(pa.array(mask))

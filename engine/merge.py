@@ -349,8 +349,22 @@ def merge_datasets_wide(
     # (key, ts_int64) pairs -> broadcast; membership checks are then one
     # vectorized np.isin per batch instead of a Python loop. ts must
     # already be canonical int64 (NaT == INT64_MIN) on BOTH sides.
-    def _pair_hash(keys: pd.Series, ts_i64) -> np.ndarray:
-        hk = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
+    # String keys hash on the Arrow buffer (hash64_strings, zero
+    # per-row Python); both the winner-collection and attach sides go
+    # through THIS one function, so membership stays consistent.
+    def _pair_hash(keys, ts_i64) -> np.ndarray:
+        from engine.dedup import hash64_strings
+
+        if isinstance(keys, pd.Series):
+            keys = pa.Array.from_pandas(keys)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            hk = hash64_strings(keys)
+        else:
+            hk = pd.util.hash_array(
+                keys.to_pandas().to_numpy(dtype=object), categorize=False
+            )
         ht = pd.util.hash_array(np.asarray(ts_i64, dtype=np.int64))
         return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
 
@@ -393,8 +407,7 @@ def merge_datasets_wide(
     def winning_payloads(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(_is_missing_key(t.column(key))))
         wmap = ray.get(winners_ref)
-        keys = t.column(key).to_pandas()
-        h = _pair_hash(keys, _ts_i64_col(t))
+        h = _pair_hash(t.column(key), _ts_i64_col(t))
         out = None
         for w in wide_cols:
             if use_bloom:

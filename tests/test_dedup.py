@@ -3,6 +3,7 @@ n-gram Jaccard."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -444,12 +445,23 @@ def test_fast_tokenizer_boundary_parity_with_reference_regex():
     assert hb[0] == ha[0]
 
 
-def test_hash64_strings_vectorized_content_hash():
+@pytest.mark.parametrize("kernel", ["dispatch", "numpy"])
+def test_hash64_strings_vectorized_content_hash(kernel):
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from engine.dedup import hash64_strings
+    from engine.dedup import _hash64_strings_numpy, hash64_strings
+
+    if kernel == "dispatch":
+        fn = hash64_strings
+    else:
+        # the no-polars fallback kernel must satisfy the same contract
+        def fn(a):
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            nm = pc.is_null(a).to_numpy(zero_copy_only=False) if a.null_count else None
+            return _hash64_strings_numpy(a, nm)
 
     vals = [
         "", "a", "ab", "https://h-1.example/p/1", "https://h-1.example/p/2",
@@ -457,20 +469,20 @@ def test_hash64_strings_vectorized_content_hash():
         "x" * 300 + "tail-A", "x" * 300 + "tail-B", None, "éü世界",
     ]
     arr = pa.array(vals, pa.string())
-    h = hash64_strings(arr)
+    h = fn(arr)
     assert h.dtype == np.uint64 and len(h) == len(vals)
     # deterministic and content-functional
-    assert (hash64_strings(pa.array(vals, pa.string())) == h).all()
+    assert (fn(pa.array(vals, pa.string())) == h).all()
     # equal content hashes equal regardless of position/slicing/chunking
-    assert hash64_strings(arr.slice(3, 2))[0] == h[3]
+    assert fn(arr.slice(3, 2))[0] == h[3]
     chunked = pa.chunked_array([pa.array(vals[:5], pa.string()), pa.array(vals[5:], pa.string())])
-    assert (hash64_strings(chunked) == h).all()
+    assert (fn(chunked) == h).all()
     # distinct inputs land apart (incl. long strings differing only in tail)
     non_null = [x for i, x in enumerate(h) if vals[i] is not None]
     assert len(set(non_null)) == len(non_null)
     # ~uniform bucket spread on realistic shared-prefix urls
     urls = pa.array([f"https://h-{i % 977}.example/p/{i}" for i in range(40000)])
-    counts = np.bincount((hash64_strings(urls) % np.uint64(64)).astype(np.int64), minlength=64)
+    counts = np.bincount((fn(urls) % np.uint64(64)).astype(np.int64), minlength=64)
     assert counts.min() > 0.7 * counts.mean()
 
 

@@ -198,3 +198,16 @@ def test_hll_skips_nulls():
     assert h.estimate() == 0.0
     h.add_strings(["a", None, "b"])
     assert 1.5 < h.estimate() < 2.5
+
+
+def test_bloom_string_fast_path_nulls_and_empty(ray_session):
+    # the Arrow-buffer probe fast path: nulls never match, empty string
+    # is a real key, true members always kept (build/probe consistency)
+    from engine.lookup import bloom_semi_join
+
+    keys = ["", "a", "b"]
+    t = pa.table({"col": pa.array(["", "a", None, "zz", "b", None], pa.string())})
+    out = bloom_semi_join(ray.data.from_arrow(t), keys, "col").to_pandas()
+    got = out.col.tolist()
+    assert "" in got and "a" in got and "b" in got
+    assert not any(v is None for v in got)

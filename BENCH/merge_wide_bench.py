@@ -16,7 +16,8 @@ measured per-column bytes (parquet-compressed AND in-memory Arrow), the
 derived exchange-byte model for each path, and the auto-routing
 decisions (`_auto_wide_cols`) under the single-node gate, the forced
 topology, and the size/share thresholds. Output:
-``BENCH/merge_wide_r3.json`` + one line on stdout.
+``BENCH/merge_wide_<tag>.json`` (tag via ``BENCH_WIDE_TAG``,
+default r3) + one line on stdout.
 
 Standalone script: owns its Ray session (CLAUDE.md contract).
 """
@@ -174,7 +175,7 @@ def main() -> dict:
     )
 
     result = {
-        "bench": "merge_wide_r3",
+        "bench": "merge_wide_" + os.environ.get("BENCH_WIDE_TAG", "r3"),
         "rows": rows,
         "merged_rows": merged_rows,
         "num_cpus": NUM_CPUS,
@@ -189,7 +190,7 @@ def main() -> dict:
         },
         "exchange_model": model,
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "merge_wide_r3.json")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"merge_wide_{os.environ.get('BENCH_WIDE_TAG', 'r3')}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     shutil.rmtree(work, ignore_errors=True)

@@ -218,6 +218,37 @@ def _bloom_probe(h: np.ndarray, bits: np.ndarray, num_bits: int, k: int = 4) -> 
     return ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
 
 
+def _dedup_key_ts_nonempty(t: pa.Table, key: str, ts_i64, w: str) -> pa.Table:
+    """One row per (key, ts) preferring a NON-EMPTY ``w`` payload, ties
+    broken by ORIGINAL row order -- the Arrow re-expression of
+    ``sort_values("__e", kind="stable").drop_duplicates([key, ts],
+    keep="first")`` (bit-identical keep choice by construction: the
+    kept row per group minimizes (empty, original_index)). No
+    ``to_pandas`` -- the payload bytes never round-trip through
+    PyObjects, and output types are the input Arrow types."""
+    arr = t.column(w).combine_chunks()
+    empty = pc.fill_null(pc.or_(pc.is_null(arr), pc.equal(pc.binary_length(arr), 0)), True)
+    n = len(t)
+    order = pa.table(
+        {
+            "__k": t.column(key),
+            "__t": pa.array(np.asarray(ts_i64, np.int64)),
+            "__e": empty,
+            "__i": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    idx = pc.sort_indices(
+        order,
+        sort_keys=[(c, "ascending") for c in ("__k", "__t", "__e", "__i")],
+        null_placement="at_start",
+    )
+    idx_np = idx.to_numpy()
+    kc = pc.dictionary_encode(order.column("__k").take(idx).combine_chunks()).indices.to_numpy()
+    tv = order.column("__t").take(idx).to_numpy()
+    starts = np.flatnonzero(np.r_[True, (kc[1:] != kc[:-1]) | (tv[1:] != tv[:-1])])
+    return t.take(pa.array(np.sort(idx_np[starts])))
+
+
 def merge_datasets_wide(
     ds_factory,
     wide_cols,
@@ -424,14 +455,7 @@ def merge_datasets_wide(
             # -- a joint dedup could drop the only row carrying another
             # column's non-empty payload.
             if len(sub):
-                df = sub.to_pandas()
-                df["__e"] = ~(df[w].map(lambda v: v is not None and len(v) > 0))
-                df = (
-                    df.sort_values("__e", kind="stable")
-                    .drop_duplicates(subset=[key, ts], keep="first")
-                    .drop(columns="__e")
-                )
-                sub = pa.Table.from_pandas(df, preserve_index=False).cast(sub.schema)
+                sub = _dedup_key_ts_nonempty(sub, key, _ts_i64_col(sub), w)
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
         return out
 
@@ -485,12 +509,7 @@ def merge_datasets_wide(
             # winning_payloads cannot see across batches. Same non-empty
             # preference (a null/empty payload must not shadow the
             # non-empty writer that elected this winning ts).
-            mdf = m.to_pandas()
-            mdf["__e"] = ~(mdf[w].map(lambda v: v is not None and len(v) > 0))
-            mdf = mdf.sort_values("__e", kind="stable").drop_duplicates(
-                subset=[key, f"__wts_{w}"], keep="first"
-            ).drop(columns="__e")
-            m = pa.Table.from_pandas(mdf, preserve_index=False).cast(m.schema)
+            m = _dedup_key_ts_nonempty(m, key, tsi, w)
             light_rows = light_rows.join(
                 m, keys=[key, f"__wts_{w}"], join_type="left outer"
             )

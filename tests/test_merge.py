@@ -543,3 +543,42 @@ def test_wide_merge_pre_epoch_sub_us_timestamps(ray_session):
         )
         assert wide["html"].notna().all()
         pd.testing.assert_frame_equal(single, wide, check_dtype=False)
+
+
+def test_dedup_key_ts_nonempty_matches_pandas_reference():
+    # direct parity: the Arrow tie-dedup must keep EXACTLY the rows the
+    # old pandas shape kept (stable sort by emptiness, drop_duplicates
+    # keep-first) -- including (key, ts) ties with DISTINCT non-empty
+    # payloads, where the keep choice matters byte-for-byte
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from engine.merge import _dedup_key_ts_nonempty
+
+    rng = np.random.default_rng(42)
+    pool = [None, b"", b"A", b"B", b"CC", b"payload"]
+    for trial in range(50):
+        n = int(rng.integers(1, 60))
+        keys = [f"u{i}" for i in rng.integers(0, 4, n)]
+        ts = rng.integers(0, 3, n).astype(np.int64)
+        payloads = [pool[i] for i in rng.integers(0, len(pool), n)]
+        t = pa.table(
+            {
+                "url": pa.array(keys, pa.string()),
+                "wts": pa.array(ts, pa.int64()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+        got = _dedup_key_ts_nonempty(t, "url", ts, "html").to_pandas()
+
+        df = t.to_pandas()
+        df["__e"] = ~(df["html"].map(lambda v: v is not None and len(v) > 0))
+        ref = (
+            df.sort_values("__e", kind="stable")
+            .drop_duplicates(subset=["url", "wts"], keep="first")
+            .drop(columns="__e")
+        )
+        a = got.sort_values(["url", "wts", "html"], na_position="first").reset_index(drop=True)
+        b = ref.sort_values(["url", "wts", "html"], na_position="first").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

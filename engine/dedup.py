@@ -78,6 +78,14 @@ def hash64_strings(arr) -> np.ndarray:
     pinned libraries) but is never persisted -- consumers are
     in-flight bucket spread and membership prefilters only.
 
+    DEPLOYMENT INVARIANT: the polars and numpy kernels produce
+    DIFFERENT values for the same string, so a heterogeneous cluster
+    (polars importable on some workers only) would silently split keys
+    across buckets and produce Bloom false negatives. Ray's standard
+    homogeneous-image / runtime_env-pinned deployment satisfies this;
+    if you run mixed worker environments, pin one kernel for the whole
+    run instead of relying on the import probe.
+
     Fast path: polars' Rust xxhash over the Arrow buffer (~150 ms/M
     40-char urls, 2.8x the numpy fold, 4x ``hash_array``-on-objects).
     Fallback (no polars) is a pure-numpy splitmix64 fold of 8-byte
@@ -106,6 +114,27 @@ def hash64_strings(arr) -> np.ndarray:
     except ImportError:  # pragma: no cover - polars is in the image
         pass
     return _hash64_strings_numpy(arr, null_mask)
+
+
+def hash64_keys(keys) -> np.ndarray:
+    """64-bit hash of a key column of ANY type -- the ONE dispatch for
+    every consumer whose two sides must hash identically within a run
+    (merge bucket assignment across both wide-path exchanges, the
+    wide-merge winner pair-hash build+probe). Arrow string /
+    large_string columns ride :func:`hash64_strings` (zero per-row
+    Python); other types fall back to the pandas object hash. Accepts
+    ``pa.Array`` / ``pa.ChunkedArray`` / ``pd.Series``. Null handling
+    is the CALLER's job (each site redirects or filters nulls before
+    or after; both hash paths give nulls a deterministic value)."""
+    import pandas as pd
+
+    if isinstance(keys, pd.Series):
+        keys = pa.Array.from_pandas(keys)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        return hash64_strings(keys)
+    return pd.util.hash_array(keys.to_pandas().to_numpy(dtype=object), categorize=False)
 
 
 def _hash64_strings_numpy(arr: pa.Array, null_mask=None) -> np.ndarray:

@@ -46,29 +46,27 @@ def _is_missing_key(arr: pa.Array):
 
 
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
-    # deterministic-within-run 64-bit hash, C-vectorized
-    h = pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    # deterministic-within-run 64-bit hash (dedup.hash64_keys: Arrow
+    # buffer for strings, pandas object hash otherwise)
+    from engine.dedup import hash64_keys
+
+    return (hash64_keys(keys) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
     """hash(key) % B for mergeable rows; NULL/empty keys (passthrough
     rows) are spread round-robin so no bucket becomes a null hotspot.
 
-    String keys hash on the Arrow buffer (`dedup.hash64_strings`, zero
-    per-row Python); other key types fall back to the pandas object
-    hash. Both exchanges of the wide path call this same function, so
-    bucket assignment always agrees within a run."""
-    col = batch.column(key)
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        from engine.dedup import hash64_strings
+    Key hashing is `dedup.hash64_keys` -- the one dispatch (Arrow
+    buffer for strings, pandas object hash otherwise) shared with the
+    wide-merge winner pair-hash. Both exchanges of the wide path call
+    this same function, so bucket assignment always agrees within a
+    run."""
+    from engine.dedup import hash64_keys
 
-        buckets = (hash64_strings(col) % np.uint64(num_buckets)).astype(np.int64)
-        missing = _is_missing_key(col.combine_chunks()).to_numpy(zero_copy_only=False)
-    else:
-        keys = col.to_pandas()
-        buckets = _bucket_of(keys.fillna(""), num_buckets)
-        missing = keys.isna().to_numpy() | (keys == "").to_numpy()
+    col = batch.column(key)
+    buckets = (hash64_keys(col) % np.uint64(num_buckets)).astype(np.int64)
+    missing = _is_missing_key(col.combine_chunks()).to_numpy(zero_copy_only=False)
     if missing.any():
         buckets[missing] = np.arange(missing.sum()) % num_buckets
     return batch.append_column("__bucket", pa.array(buckets))
@@ -225,7 +223,15 @@ def _dedup_key_ts_nonempty(t: pa.Table, key: str, ts_i64, w: str) -> pa.Table:
     keep="first")`` (bit-identical keep choice by construction: the
     kept row per group minimizes (empty, original_index)). No
     ``to_pandas`` -- the payload bytes never round-trip through
-    PyObjects, and output types are the input Arrow types."""
+    PyObjects, and output types are the input Arrow types.
+
+    Grouping is on CANONICAL microsecond ts: two ns-resolution writers
+    inside the same microsecond are one tie group (they are already
+    indistinguishable at the downstream (key, __wts) join), and among
+    equally non-empty tied payloads the earliest batch row wins --
+    same rule as the pandas shape this replaced."""
+    if len(t) == 0:
+        return t
     arr = t.column(w).combine_chunks()
     empty = pc.fill_null(pc.or_(pc.is_null(arr), pc.equal(pc.binary_length(arr), 0)), True)
     n = len(t)
@@ -380,24 +386,14 @@ def merge_datasets_wide(
     # (key, ts_int64) pairs -> broadcast; membership checks are then one
     # vectorized np.isin per batch instead of a Python loop. ts must
     # already be canonical int64 (NaT == INT64_MIN) on BOTH sides.
-    # String keys hash on the Arrow buffer (hash64_strings, zero
+    # Key hashing is dedup.hash64_keys (Arrow buffer for strings, zero
     # per-row Python); both the winner-collection and attach sides go
     # through THIS one function, so membership stays consistent.
     def _pair_hash(keys, ts_i64) -> np.ndarray:
-        from engine.dedup import hash64_strings
+        from engine.dedup import hash64_keys
 
-        if isinstance(keys, pd.Series):
-            keys = pa.Array.from_pandas(keys)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-            hk = hash64_strings(keys)
-        else:
-            hk = pd.util.hash_array(
-                keys.to_pandas().to_numpy(dtype=object), categorize=False
-            )
         ht = pd.util.hash_array(np.asarray(ts_i64, dtype=np.int64))
-        return (hk * np.uint64(0x9E3779B97F4A7C15)) ^ ht
+        return (hash64_keys(keys) * np.uint64(0x9E3779B97F4A7C15)) ^ ht
 
     def _ts_i64_col(t: pa.Table) -> np.ndarray:
         return _ts_i64_arrow(t.column(ts)).to_numpy(zero_copy_only=False)
@@ -427,6 +423,12 @@ def merge_datasets_wide(
         ):
             for w in wide_cols:
                 winners[w] |= np.frombuffer(r[f"__bloom_{w}"], dtype=np.uint8)
+    elif n_keys == 0:
+        # all rows were NULL/empty-key passthrough: to_pandas of the
+        # empty Dataset drops the columns and win_df[key] would
+        # KeyError before the passthrough union ever ran
+        num_bits = 0
+        winners = {w: np.empty(0, np.uint64) for w in wide_cols}
     else:
         num_bits = 0
         win_df = merged_light.select_columns([key] + wts_cols).to_pandas()
@@ -438,14 +440,15 @@ def merge_datasets_wide(
     def winning_payloads(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(_is_missing_key(t.column(key))))
         wmap = ray.get(winners_ref)
-        h = _pair_hash(t.column(key), _ts_i64_col(t))
+        tsi_all = _ts_i64_col(t)
+        h = _pair_hash(t.column(key), tsi_all)
         out = None
         for w in wide_cols:
             if use_bloom:
-                mask = pa.array(_bloom_probe(h, wmap[w], num_bits))
+                mask_np = _bloom_probe(h, wmap[w], num_bits)
             else:
-                mask = pa.array(np.isin(h, wmap[w]))
-            sub = t.filter(mask).select([key, ts, w])
+                mask_np = np.isin(h, wmap[w])
+            sub = t.filter(pa.array(mask_np)).select([key, ts, w])
             # per-COLUMN (key, ts)-tie dedup BEFORE joining columns
             # together: prefer a NON-EMPTY payload on ties (the
             # has-marker that elected this ts was set by a non-empty
@@ -455,7 +458,10 @@ def merge_datasets_wide(
             # -- a joint dedup could drop the only row carrying another
             # column's non-empty payload.
             if len(sub):
-                sub = _dedup_key_ts_nonempty(sub, key, _ts_i64_col(sub), w)
+                # the canonical ts ints were computed ONCE for the pair
+                # hash; slice them with the same mask instead of a
+                # second cast pass per wide column
+                sub = _dedup_key_ts_nonempty(sub, key, tsi_all[mask_np], w)
             out = sub if out is None else out.join(sub, keys=[key, ts], join_type="full outer")
         return out
 

@@ -582,3 +582,45 @@ def test_dedup_key_ts_nonempty_matches_pandas_reference():
         a = got.sort_values(["url", "wts", "html"], na_position="first").reset_index(drop=True)
         b = ref.sort_values(["url", "wts", "html"], na_position="first").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_key_ts_nonempty_empty_table_is_noop():
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.merge import _dedup_key_ts_nonempty
+
+    t = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "wts": pa.array([], pa.int64()),
+            "html": pa.array([], pa.binary()),
+        }
+    )
+    out = _dedup_key_ts_nonempty(t, "url", np.empty(0, np.int64), "html")
+    assert len(out) == 0 and out.schema == t.schema
+
+
+def test_wide_merge_all_passthrough_input(ray_session):
+    # every row has a NULL/empty key: merged_light is empty and the
+    # exact winner path used to KeyError on the column-less DataFrame
+    # before the passthrough rows were emitted
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from engine.merge import merge_datasets_wide
+
+    t = pa.table(
+        {
+            "url": pa.array([None, "", None], pa.string()),
+            "warc_ts": pa.array([1, 2, 3], pa.int64()),
+            "html": pa.array([b"a", b"b", None], pa.binary()),
+        }
+    )
+    for wf in ("exact", "bloom", "auto"):
+        out = merge_datasets_wide(
+            lambda: ray.data.from_arrow(t), ["html"], winner_filter=wf
+        ).to_pandas()
+        assert len(out) == 3  # all three passthrough rows intact
+        assert sorted(out["warc_ts"]) == [1, 2, 3]

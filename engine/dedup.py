@@ -1241,14 +1241,13 @@ for _b in b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ":
 _LOWER_BYTES = np.arange(256, dtype=np.uint8)
 _LOWER_BYTES[65:91] += 32
 #: token-hash gather chunk: 64k tokens x 16 bytes keeps the index /
-#: gather temporaries ~9 MB so the allocator reuses one warm arena
-#: (same first-touch page-fault lesson as the bit-count kernel below)
-_TOKHASH_CHUNK = 65536
 #: _TOK_MASK16[k] keeps the first k of 16 bytes: zeroes a short
 #: token's trailing window bytes in one vectorized AND (row k has k
 #: leading 0xFF) -- the gather reads a fixed 16-byte window per token
 #: and the mask restores "first min(len,16) bytes, zero-padded"
 _TOK_MASK16 = ((np.arange(16)[None, :] < np.arange(17)[:, None]) * 255).astype(np.uint8)
+#: the same 17 masks as two little-endian uint64 words (lo, hi)
+_TOK_MASK64 = np.ascontiguousarray(_TOK_MASK16).view(np.uint64)
 
 
 def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -1315,18 +1314,16 @@ def _token_hashes_fast(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     tl = (ends - starts).astype(np.uint64)
     doc_of = np.searchsorted(offs, starts, side="right") - 1
     lens = np.bincount(doc_of, minlength=n).astype(np.int64)
-    t_count = len(starts)
-    h = np.empty(t_count, np.uint64)
-    # each token's first-16-bytes window as ONE gathered row of an
-    # overlapping strided view (needs the 15-byte pad above); trailing
-    # bytes past the token end are zeroed by the mask LUT
-    win = np.lib.stride_tricks.as_strided(B, shape=(nb, 16), strides=(1, 1))
-    for c0 in range(0, t_count, _TOKHASH_CHUNK):
-        c1 = min(c0 + _TOKHASH_CHUNK, t_count)
-        b16 = win[starts[c0:c1]]
-        b16 &= _TOK_MASK16[np.minimum(tl[c0:c1], 16).astype(np.int64)]
-        w = b16.view(np.uint64)
-        h[c0:c1] = _mix64(w[:, 0] ^ _mix64(w[:, 1] ^ tl[c0:c1]))
+    # each token's first-16 bytes as TWO unaligned little-endian uint64
+    # gathers off a byte-strided word view (needs the 15-byte pad
+    # above) -- same values as gathering the (tokens, 16) byte rows and
+    # viewing uint64, but 2 word loads replace 16 byte loads per token;
+    # trailing bytes past the token end are zeroed by the mask LUT
+    u64 = np.ndarray(buffer=B, dtype=np.uint64, shape=(nb + 8,), strides=(1,))
+    tcl = np.minimum(tl, 16).astype(np.int64)
+    w0 = u64[starts] & _TOK_MASK64[tcl, 0]
+    w1 = u64[starts + 8] & _TOK_MASK64[tcl, 1]
+    h = _mix64(w0 ^ _mix64(w1 ^ tl))
     return h, lens
 
 

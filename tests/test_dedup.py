@@ -508,3 +508,28 @@ def test_add_bucket_string_and_fallback_paths_agree_on_shape():
     out2 = _add_bucket(t2, "k", 4)
     b2 = out2.column("__bucket").to_numpy()
     assert b2[0] == b2[2]
+
+
+def test_hash64_keys_dispatch_type_matrix():
+    # one dispatch for every key type: equal values hash equal across
+    # container forms (Array / ChunkedArray / pandas Series), and the
+    # string fast path agrees with itself regardless of chunking
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from engine.dedup import hash64_keys
+
+    s = ["u1", "u2", None, "", "u1"]
+    a = pa.array(s, pa.string())
+    h_arr = hash64_keys(a)
+    assert h_arr.dtype == np.uint64
+    assert h_arr[0] == h_arr[4]
+    assert (hash64_keys(pa.chunked_array([a.slice(0, 2), a.slice(2)])) == h_arr).all()
+    assert (hash64_keys(pd.Series(s, dtype=object)) == h_arr).all()
+    assert (hash64_keys(a.cast(pa.large_string())) == h_arr).all()
+    # non-string fallback: ints hash consistently across forms
+    ints = pa.array([10, 7, None, 10], pa.int64())
+    hi = hash64_keys(ints)
+    assert hi[0] == hi[3]
+    assert (hash64_keys(pd.Series([10, 7, None, 10], dtype="Int64")) == hi).all()

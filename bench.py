@@ -190,6 +190,31 @@ def run_headline() -> dict:
         timings["expire"] = round(time.perf_counter() - t0, 3)
 
         total = time.perf_counter() - t_all
+
+        # post-maintenance scan time (BASELINE.json metric names it
+        # alongside maintenance throughput) -- OUTSIDE the maintenance
+        # total. scan_full forces a real read of every column (a bare
+        # .count() on a parquet read is metadata-only); scan_pruned is
+        # the clustering payoff: manifest min/max skip + exact filter.
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        t0 = time.perf_counter()
+        table.scan().map_batches(
+            lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).sum("n")
+        timings["scan_full"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        table.scan(
+            columns=["url", "lang"], predicate_stats={"lang": ("zh", "zh")}
+        ).map_batches(
+            lambda t: t.filter(_pc.equal(t.column("lang"), "zh")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).count()
+        timings["scan_pruned"] = round(time.perf_counter() - t0, 3)
+
         return total, timings
 
     # noisy-neighbor VM: take the best of two runs (same input, fresh

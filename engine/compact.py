@@ -119,7 +119,14 @@ def _rewrite_bin(
     else:
         tables = [pq.read_table(p) for p in paths]
     merged = pa.concat_tables(tables, promote_options="default")
-    tmp = out_path + ".tmp"
+    # unique tmp per ATTEMPT: after a crashed run, orphaned in-flight
+    # tasks may still be writing this bin's deterministic out_path; a
+    # shared ".tmp" name lets the loser's os.replace hit
+    # FileNotFoundError. Unique tmp + atomic replace = last writer
+    # wins with identical content (same input set by construction).
+    import uuid
+
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(merged, tmp, compression=compression)
     os.replace(tmp, out_path)
     return {
@@ -221,6 +228,8 @@ def compact_table(
                     state="failed",
                     error=ex,
                 )
+                for r in in_flight:
+                    ray.cancel(r, force=True)
                 raise
             log.record(
                 pid,
@@ -232,6 +241,8 @@ def compact_table(
             replaced.update(fe.path for fe in b)
             committed_count += 1
             if failpoint_after is not None and committed_count >= failpoint_after:
+                for r in in_flight:
+                    ray.cancel(r, force=True)
                 raise RuntimeError(
                     f"injected failure after {committed_count} bins (job {job_id})"
                 )

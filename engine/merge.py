@@ -45,6 +45,27 @@ def _is_missing_key(arr: pa.Array):
     return pc.or_kleene(pc.is_null(arr), pc.equal(pc.cast(arr, pa.string()), ""))
 
 
+#: null ts = oldest writer (CLAUDE.md merge invariant): maps to INT64_MIN
+TS_I64_MIN = int(np.iinfo(np.int64).min)
+
+
+def ts_i64_arrow(arr):
+    """Arrow ts column -> canonical int64 (MICROSECONDS for timestamps,
+    raw int64 otherwise); null -> INT64_MIN (oldest writer).
+
+    This is the ONE ts->int64 path shared by the wide-merge winner
+    join/pair-hash AND the streaming-upsert index: pandas
+    ``astype("datetime64[us]")`` FLOORS while ``pc.cast(safe=False)``
+    truncates toward zero, so for pre-epoch values with sub-us
+    remainders (-1500ns -> -2 vs -1) two code paths would disagree by
+    1us and (key, ts) equality checks would silently miss (ADVICE r3).
+    """
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        arr = pc.cast(arr, pa.timestamp("us", tz=t.tz), safe=False)
+    return pc.fill_null(pc.cast(arr, pa.int64()), TS_I64_MIN)
+
+
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     # deterministic-within-run 64-bit hash (dedup.hash64_keys: Arrow
     # buffer for strings, pandas object hash otherwise)
@@ -76,6 +97,15 @@ def merge_fold(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     """Vectorized LWW + non-empty-coalesce fold over one bucket.
 
     Runs pandas C kernels over *all* keys in the bucket at once.
+
+    TEST ORACLE ONLY -- every production path (distributed buckets,
+    small-table task, streaming upsert) folds with
+    :func:`merge_fold_arrow`. Known representational gap: pandas
+    cannot hold a float NaN distinct from null, so this fold coalesces
+    past NaN where the engine contract (Arrow/SQL semantics, defined
+    by ``merge_fold_arrow``) treats NaN as a VALID value -- only null
+    and ""/b"" coalesce. Parity fuzzing therefore avoids value-NaN
+    floats; the NaN contract is pinned by its own unit test.
     """
     if df.empty:
         return df
@@ -115,15 +145,18 @@ def merge_fold_arrow(t: pa.Table, key: str, ts: str) -> pa.Table:
     """:func:`merge_fold` re-expressed as Arrow kernels + O(n) numpy
     segment passes -- no pandas frame, no object-dtype round trip.
 
-    Bit-identical semantics by construction (parity-fuzzed in
-    tests/test_merge.py): sort by (key, ts) stable with null ts first
-    (pandas sorts by ts alone, but per-key relative order -- which is
-    all the fold reads -- is identical); per key and column take the
-    LAST non-missing value ("missing" = null, plus ""/b"" for
-    string/binary columns, reference csv_handler.py:91-95) else the
-    anchor row's literal value. Output types are the INPUT Arrow types:
-    the pandas path nulls-upcast int->float64 (a uint64 through a
-    53-bit mantissa), this path cannot.
+    Same semantics (parity-fuzzed in tests/test_merge.py): sort by
+    (key, ts) stable with null ts first (pandas sorts by ts alone, but
+    per-key relative order -- which is all the fold reads -- is
+    identical); per key and column take the LAST non-missing value
+    ("missing" = null, plus ""/b"" for string/binary columns, reference
+    csv_handler.py:91-95) else the anchor row's literal value. Output
+    types are the INPUT Arrow types: the pandas path nulls-upcast
+    int->float64 (a uint64 through a 53-bit mantissa), this path
+    cannot. One DELIBERATE divergence: float NaN is a VALID value here
+    (Arrow/SQL semantics -- ``pc.is_null`` is false for NaN) while the
+    pandas oracle cannot represent it and coalesces past it; this fold
+    defines the engine contract.
 
     Assumes ``key`` has no nulls/empties (callers split passthrough
     rows first -- :func:`merge_fold_passthrough_arrow`).
@@ -305,15 +338,9 @@ def merge_datasets_wide(
     schema_names = in_schema0.names
     light_cols = [c for c in schema_names if c not in wide_cols]
 
-    # ONE canonical int64 unit for winner timestamps BY CONSTRUCTION
-    # (ADVICE r2): the pandas fold and the Arrow casts must agree or
-    # every pair-hash / join key mismatches and all wide columns come
-    # back silently null. Timestamps are pinned to MICROSECONDS on both
-    # sides (explicit unit -- never "whatever pandas/pyarrow preserved");
-    # integer ts columns pass through as raw int64.
-    ts_type = dict(zip(in_schema0.names, in_schema0.types))[ts]
-    ts_is_timestamp = pa.types.is_timestamp(ts_type)
-    ts_us = pa.timestamp("us", tz=ts_type.tz) if ts_is_timestamp else None
+    # winner timestamps go through the ONE module-level ts_i64_arrow
+    # cast everywhere (ADVICE r2/r3): all pair-hash / join sides agree
+    # by construction or wide columns come back silently null.
 
     def mark(t: pa.Table) -> pa.Table:
         keep = pc.invert(_is_missing_key(t.column(key)))
@@ -332,21 +359,9 @@ def merge_datasets_wide(
         fn_kwargs={"key": key, "num_buckets": num_buckets},
     )
 
-    _TS_MIN = np.iinfo(np.int64).min
-
-    def _ts_i64_arrow(arr):
-        """Arrow ts column -> canonical int64 (us for timestamps).
-
-        This is the ONLY ts->int64 path: the pandas fold wraps its
-        winner series in an Arrow array and calls this too. pandas
-        ``astype("datetime64[us]")`` FLOORS while ``pc.cast(safe=False)``
-        truncates toward zero, so for pre-epoch values with sub-us
-        remainders (-1500ns -> -2 vs -1) two code paths would disagree
-        by 1us and the (key, __wts) join would silently null the wide
-        columns (ADVICE r3)."""
-        if ts_is_timestamp:
-            arr = pc.cast(arr, ts_us, safe=False)
-        return pc.fill_null(pc.cast(arr, pa.int64()), _TS_MIN)
+    # module-level ts_i64_arrow derives the unit from the array's own
+    # type; ts_is_timestamp/ts_us above only gate schema handling
+    _ts_i64_arrow = ts_i64_arrow
 
     def fold(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__bucket"])
@@ -569,10 +584,13 @@ def merge_datasets(
 
 def merge_fold_passthrough(df: pd.DataFrame, key: str, ts: str) -> pd.DataFrame:
     """The per-bucket merge fold including NULL/empty-key passthrough.
-    Shared by the distributed per-bucket path above and the small-table
-    single-task path (``jobs._merge_small_task``) so the two are the
-    same code by construction -- bucketing is purely a parallelism
-    device over this row-set fold."""
+
+    TEST ORACLE ONLY (see :func:`merge_fold`): production paths -- the
+    distributed per-bucket fold above, ``jobs._merge_small_task``, and
+    the streaming upsert -- all run
+    :func:`merge_fold_passthrough_arrow` / :func:`merge_fold_arrow`;
+    this pandas twin exists for the parity fuzz in tests/test_merge.py.
+    """
     null_mask = df[key].isna() | (df[key] == "")
     merged = merge_fold(df[~null_mask], key, ts)
     if null_mask.any():

@@ -28,14 +28,14 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from engine.config import EngineConfig
 from engine.manifest import Table
-from engine.merge import merge_fold
+from engine.merge import _is_missing_key, merge_fold_arrow, ts_i64_arrow
 from engine.writer import write_files
 
 
@@ -85,21 +85,33 @@ class StreamingUpsert:
         self.n = num_shards
         self.seq = 0
 
-    def _shard_of(self, keys: pd.Series) -> np.ndarray:
+    def _shard_of(self, keys) -> np.ndarray:
         from engine.merge import _bucket_of  # ONE partition-hash invariant
 
         return _bucket_of(keys, self.n)
 
     def rebuild_from_table(self):
-        """Recover index state from the table (actor restart path)."""
-        df = self.table.scan(columns=[self.key, self.ts]).to_pandas()
-        df = df[df[self.key].notna() & (df[self.key] != "")]
-        ts_us = pd.to_datetime(df[self.ts]).astype("datetime64[us]").astype("int64")
-        sh = self._shard_of(df[self.key])
+        """Recover index state from the table (actor restart path).
+
+        Goes through the SAME ts canonicalization (`ts_i64_arrow`) and
+        key hash as the live `upsert` path: a recovered index that
+        floored pre-epoch timestamps while the live path truncates
+        would mis-rank the first post-restart upsert by 1us.
+        """
+        t = pa.concat_tables(
+            ray.get(self.table.scan(columns=[self.key, self.ts]).to_arrow_refs())
+        ).combine_chunks()
+        t = t.filter(pc.invert(_is_missing_key(t.column(self.key).combine_chunks())))
+        ts_us = ts_i64_arrow(t.column(self.ts).combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        keys_py = t.column(self.key).to_pylist()
+        sh = self._shard_of(t.column(self.key).combine_chunks())
         ray.get(
             [
                 self.shards[s].load.remote(
-                    df[self.key][sh == s].tolist(), ts_us[sh == s].tolist()
+                    [keys_py[i] for i in np.flatnonzero(sh == s)],
+                    ts_us[sh == s].tolist(),
                 )
                 for s in range(self.n)
             ]
@@ -107,17 +119,33 @@ class StreamingUpsert:
 
     def upsert(self, batch: pa.Table) -> dict:
         """Apply one micro-batch: local merge fold -> index LWW filter ->
-        append surviving rows as a new snapshot."""
-        df = batch.to_pandas()
-        null_mask = df[self.key].isna() | (df[self.key] == "")
-        merged = merge_fold(df[~null_mask], self.key, self.ts)
-        ts_us = pd.to_datetime(merged[self.ts]).astype("datetime64[us]").astype("int64")
-        sh = self._shard_of(merged[self.key])
+        append surviving rows as a new snapshot.
+
+        The fold is the SAME Arrow fold as batch MERGE INTO
+        (:func:`engine.merge.merge_fold_arrow`), so streaming and batch
+        agree on every semantic corner by construction -- including
+        "float NaN is a valid value" (the old pandas fold here
+        coalesced past NaN, silently diverging from MERGE) and exact
+        input Arrow types (no null-upcast through float64).
+        """
+        null_mask = _is_missing_key(batch.combine_chunks().column(self.key))
+        merged = merge_fold_arrow(
+            batch.filter(pc.invert(null_mask)), self.key, self.ts
+        )
+        passthrough = batch.filter(null_mask)
+        # canonical ts ints: ONE cast path shared with merge (null ts ->
+        # INT64_MIN = oldest writer, same as the index's unseen rule)
+        ts_us = ts_i64_arrow(merged.column(self.ts).combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        keys_py = merged.column(self.key).to_pylist()  # actor protocol is lists
+        sh = self._shard_of(merged.column(self.key).combine_chunks())
         # 1. read-only probe (no state change before the durable commit)
         verdicts = ray.get(
             [
                 self.shards[s].probe.remote(
-                    merged[self.key][sh == s].tolist(), ts_us[sh == s].tolist()
+                    [keys_py[i] for i in np.flatnonzero(sh == s)],
+                    ts_us[sh == s].tolist(),
                 )
                 for s in range(self.n)
             ]
@@ -125,13 +153,13 @@ class StreamingUpsert:
         keep = np.zeros(len(merged), dtype=bool)
         for s, v in enumerate(verdicts):
             keep[np.flatnonzero(sh == s)] = v
-        survivors = pd.concat([merged[keep], df[null_mask]], ignore_index=True)
+        survivors = pa.concat_tables([merged.filter(pa.array(keep)), passthrough])
         self.seq += 1
-        if survivors.empty:
+        if len(survivors) == 0:
             return {"appended": 0, "snapshot_id": self.table.current_snapshot_id()}
         # 2. durable append
         entries = write_files(
-            ray.data.from_pandas(survivors),
+            ray.data.from_arrow(survivors),
             self.table.data_dir,
             prefix=f"stream-{self.seq:06d}",
             stats_cols=self.cfg.stats_cols,
@@ -139,13 +167,14 @@ class StreamingUpsert:
         snap = self.table.commit(f"stream-append:{self.seq}", add_files=entries)
         # 3. only now advance the index (crash before this point leaves
         # the index stale-low -> retry re-appends, never loses the batch)
-        win_keys = merged[self.key][keep]
         win_ts = ts_us[keep]
         win_sh = sh[keep]
+        win_idx = np.flatnonzero(keep)
         ray.get(
             [
                 self.shards[s].load.remote(
-                    win_keys[win_sh == s].tolist(), win_ts[win_sh == s].tolist()
+                    [keys_py[i] for i in win_idx[win_sh == s]],
+                    win_ts[win_sh == s].tolist(),
                 )
                 for s in range(self.n)
             ]

@@ -291,6 +291,34 @@ def test_numeric_columns_zero_overwrites_nan_skipped():
     assert out.iloc[0].score == 0.0  # t2's zero won; t3's NaN skipped
 
 
+def test_arrow_fold_nan_is_a_valid_value():
+    """The engine contract (merge_fold_arrow): float NaN is a VALID
+    value -- only null and ""/b"" coalesce. A later-ts explicit NaN
+    OVERWRITES a real number (Arrow/SQL semantics: pc.is_null(NaN) is
+    false), while a later-ts NULL is coalesced past. The pandas fold
+    cannot represent this distinction (NaN IS its null), which is why
+    it is a test oracle only -- this test pins the divergence."""
+    from engine.merge import merge_fold_arrow
+
+    ts = pa.array(
+        [pd.Timestamp(f"2024-01-0{i}") for i in (1, 2, 3)],
+        type=pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "url": pa.array(["u", "u", "u"]),
+            "warc_ts": ts,
+            "nan_col": pa.array([5.0, float("nan"), None], type=pa.float64()),
+            "null_col": pa.array([7.0, None, None], type=pa.float64()),
+        }
+    )
+    out = merge_fold_arrow(t, "url", "warc_ts")
+    assert len(out) == 1
+    v = out.column("nan_col")[0].as_py()
+    assert v != v  # t2's explicit NaN overwrote 5.0; t3's null skipped
+    assert out.column("null_col")[0].as_py() == 7.0  # nulls still coalesce
+
+
 def test_wide_merge_preserves_numeric_dtypes(ray_session):
     # regression: the wide path's union fold used pandas, upcasting
     # every int to float64 and rounding uint64 simhash through a double

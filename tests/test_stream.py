@@ -91,3 +91,40 @@ def test_stream_index_advances_only_after_commit(tmp_table_root, ray_session, mo
     r = s.upsert(_batch([("u1", _ts(5), "v1")]))  # retry succeeds fully
     assert r["appended"] == 1
     assert set(t.scan().to_pandas().text) == {"v1"}
+
+def test_streaming_preserves_arrow_types_and_nan_contract(tmp_table_root, ray_session):
+    """The upsert fold is merge_fold_arrow (not the pandas twin), so a
+    micro-batch keeps its exact Arrow types end-to-end -- uint64 at
+    full width even WITH nulls (the old pandas round trip upcast
+    null-bearing ints to float64, rounding through a 53-bit mantissa)
+    -- and an explicit float NaN is a VALID value that wins over an
+    older real number (the pandas fold coalesced past it)."""
+    import numpy as np
+
+    t = Table.create(tmp_table_root)
+    s = StreamingUpsert(t, EngineConfig(), num_shards=2)
+    big = (1 << 63) + 11  # not representable in float64
+    batch = pa.table(
+        {
+            "url": ["u1", "u1", "u2"],
+            "warc_ts": pa.array([_ts(1), _ts(2), _ts(1)], pa.timestamp("us")),
+            "text": ["a", "b", "c"],
+            "sim": pa.array([big, None, 7], pa.uint64()),
+            "score": pa.array([5.0, float("nan"), None], pa.float64()),
+        }
+    )
+    r = s.upsert(batch)
+    assert r["appended"] == 2  # u1 collapsed locally
+    out = t.scan().to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables(_ray.get(out)).combine_chunks()
+    assert tbl.schema.field("sim").type == pa.uint64()
+    row = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+    # u1: later row's null sim coalesced back to the exact uint64
+    assert tbl.column("sim")[row["u1"]].as_py() == big
+    # u1: later row's explicit NaN is a VALID value and won over 5.0
+    v = tbl.column("score")[row["u1"]].as_py()
+    assert v is not None and np.isnan(v)
+    # u2: null score stays null (never fabricated)
+    assert tbl.column("score")[row["u2"]].as_py() is None

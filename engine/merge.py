@@ -59,10 +59,24 @@ def ts_i64_arrow(arr):
     truncates toward zero, so for pre-epoch values with sub-us
     remainders (-1500ns -> -2 vs -1) two code paths would disagree by
     1us and (key, ts) equality checks would silently miss (ADVICE r3).
+
+    Accepts timestamp, integer, or ISO-8601 string columns (strings
+    parse through Arrow's string->timestamp cast, preserving the old
+    stream path's ``pd.to_datetime`` lenience); anything else raises a
+    TypeError naming the column type instead of surfacing as a cryptic
+    mid-pipeline ArrowInvalid.
     """
     t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        arr = pc.cast(arr, pa.timestamp("us"))
+        t = arr.type
     if pa.types.is_timestamp(t):
         arr = pc.cast(arr, pa.timestamp("us", tz=t.tz), safe=False)
+    elif not pa.types.is_integer(t):
+        raise TypeError(
+            f"merge ts column must be timestamp, integer, or ISO-8601 "
+            f"string (got {t})"
+        )
     return pc.fill_null(pc.cast(arr, pa.int64()), TS_I64_MIN)
 
 
@@ -359,10 +373,6 @@ def merge_datasets_wide(
         fn_kwargs={"key": key, "num_buckets": num_buckets},
     )
 
-    # module-level ts_i64_arrow derives the unit from the array's own
-    # type; ts_is_timestamp/ts_us above only gate schema handling
-    _ts_i64_arrow = ts_i64_arrow
-
     def fold(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__bucket"])
         if len(t) == 0:
@@ -370,7 +380,7 @@ def merge_datasets_wide(
         # same Arrow fold engine as the single-pass path (`_fold_plan`
         # segment layout; null ts sorts FIRST = oldest writer). Winner
         # timestamps leave the fold as canonical int64 (NaT ->
-        # INT64_MIN) through the ONE shared cast (`_ts_i64_arrow`) so
+        # INT64_MIN) through the ONE shared cast (`ts_i64_arrow`) so
         # they survive hashing and joins. The winning ts of a wide
         # column is the ts of the last row with a non-empty payload
         # (the __has marker), else the anchor row's ts -- a __has mask
@@ -384,7 +394,7 @@ def merge_datasets_wide(
             arr = t.column(name).combine_chunks()
             cols[name] = arr.take(pa.array(_winner_pick(arr, idx_np, starts)))
         merged = pa.table(cols)
-        tsi = _ts_i64_arrow(t.column(ts).combine_chunks()).to_numpy(zero_copy_only=False)
+        tsi = ts_i64_arrow(t.column(ts).combine_chunks()).to_numpy(zero_copy_only=False)
         for w in wide_cols:
             has = pc.fill_null(
                 t.column(f"__has_{w}").combine_chunks(), False
@@ -411,7 +421,7 @@ def merge_datasets_wide(
         return (hash64_keys(keys) * np.uint64(0x9E3779B97F4A7C15)) ^ ht
 
     def _ts_i64_col(t: pa.Table) -> np.ndarray:
-        return _ts_i64_arrow(t.column(ts)).to_numpy(zero_copy_only=False)
+        return ts_i64_arrow(t.column(ts)).to_numpy(zero_copy_only=False)
 
     n_keys = merged_light.count()
     use_bloom = winner_filter == "bloom" or (winner_filter == "auto" and n_keys > exact_limit)
@@ -528,7 +538,7 @@ def merge_datasets_wide(
         pay_rows = t.filter(pc.equal(side, 1))
         for w in wide_cols:
             pay = pay_rows
-            tsi = _ts_i64_arrow(pay.column(ts))
+            tsi = ts_i64_arrow(pay.column(ts))
             m = pa.table(
                 {key: pay.column(key), f"__wts_{w}": tsi, w: pay.column(w)}
             )

@@ -97,25 +97,37 @@ class StreamingUpsert:
         key hash as the live `upsert` path: a recovered index that
         floored pre-epoch timestamps while the live path truncates
         would mis-rank the first post-restart upsert by 1us.
+
+        Streams the (key, ts) projection BLOCK BY BLOCK: the index
+        shards max-merge (`load` keeps the larger ts), so per-block
+        routing is order-independent and the driver never holds more
+        than one block -- a 10^9-key table (the module's advertised
+        scale) would overflow both driver memory and Arrow's 2 GiB
+        string-offset limit if concatenated here.
         """
-        t = pa.concat_tables(
-            ray.get(self.table.scan(columns=[self.key, self.ts]).to_arrow_refs())
-        ).combine_chunks()
-        t = t.filter(pc.invert(_is_missing_key(t.column(self.key).combine_chunks())))
-        ts_us = ts_i64_arrow(t.column(self.ts).combine_chunks()).to_numpy(
-            zero_copy_only=False
-        )
-        keys_py = t.column(self.key).to_pylist()
-        sh = self._shard_of(t.column(self.key).combine_chunks())
-        ray.get(
-            [
-                self.shards[s].load.remote(
-                    [keys_py[i] for i in np.flatnonzero(sh == s)],
-                    ts_us[sh == s].tolist(),
-                )
-                for s in range(self.n)
-            ]
-        )
+        for ref in self.table.scan(columns=[self.key, self.ts]).to_arrow_refs():
+            t = ray.get(ref)
+            if len(t) == 0:
+                continue
+            keys = t.column(self.key).combine_chunks()
+            t = t.filter(pc.invert(_is_missing_key(keys)))
+            if len(t) == 0:
+                continue
+            keys = t.column(self.key).combine_chunks()
+            ts_us = ts_i64_arrow(t.column(self.ts).combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            keys_py = keys.to_pylist()
+            sh = self._shard_of(keys)
+            ray.get(
+                [
+                    self.shards[s].load.remote(
+                        [keys_py[i] for i in np.flatnonzero(sh == s)],
+                        ts_us[sh == s].tolist(),
+                    )
+                    for s in range(self.n)
+                ]
+            )
 
     def upsert(self, batch: pa.Table) -> dict:
         """Apply one micro-batch: local merge fold -> index LWW filter ->
@@ -128,7 +140,9 @@ class StreamingUpsert:
         coalesced past NaN, silently diverging from MERGE) and exact
         input Arrow types (no null-upcast through float64).
         """
-        null_mask = _is_missing_key(batch.combine_chunks().column(self.key))
+        # combine only the KEY column for the mask -- combining the whole
+        # batch would copy every payload column per micro-batch
+        null_mask = _is_missing_key(batch.column(self.key).combine_chunks())
         merged = merge_fold_arrow(
             batch.filter(pc.invert(null_mask)), self.key, self.ts
         )
@@ -140,19 +154,20 @@ class StreamingUpsert:
         )
         keys_py = merged.column(self.key).to_pylist()  # actor protocol is lists
         sh = self._shard_of(merged.column(self.key).combine_chunks())
+        shard_idx = [np.flatnonzero(sh == s) for s in range(self.n)]
         # 1. read-only probe (no state change before the durable commit)
         verdicts = ray.get(
             [
                 self.shards[s].probe.remote(
-                    [keys_py[i] for i in np.flatnonzero(sh == s)],
-                    ts_us[sh == s].tolist(),
+                    [keys_py[i] for i in shard_idx[s]],
+                    ts_us[shard_idx[s]].tolist(),
                 )
                 for s in range(self.n)
             ]
         )
         keep = np.zeros(len(merged), dtype=bool)
         for s, v in enumerate(verdicts):
-            keep[np.flatnonzero(sh == s)] = v
+            keep[shard_idx[s]] = v
         survivors = pa.concat_tables([merged.filter(pa.array(keep)), passthrough])
         self.seq += 1
         if len(survivors) == 0:

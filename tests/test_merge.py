@@ -652,3 +652,27 @@ def test_wide_merge_all_passthrough_input(ray_session):
         ).to_pandas()
         assert len(out) == 3  # all three passthrough rows intact
         assert sorted(out["warc_ts"]) == [1, 2, 3]
+
+
+def test_ts_i64_arrow_type_contract():
+    """The one shared ts->int64 cast: timestamps canonicalize to us,
+    integers pass through, ISO-8601 strings parse (the old stream
+    path's pd.to_datetime lenience), null -> INT64_MIN (oldest
+    writer), and anything else raises a NAMED TypeError instead of a
+    cryptic mid-pipeline ArrowInvalid."""
+    import pytest
+
+    from engine.merge import TS_I64_MIN, ts_i64_arrow
+
+    out = ts_i64_arrow(pa.array(["2024-01-01T00:00:01", None]))
+    assert out.to_pylist() == [1704067201000000, TS_I64_MIN]
+    assert ts_i64_arrow(pa.array([7, None], pa.int64())).to_pylist() == [
+        7,
+        TS_I64_MIN,
+    ]
+    # pre-epoch sub-us truncates toward zero (-1500ns -> -1us), the
+    # documented canonical behavior both join sides share
+    ns = pa.array([-1500], pa.timestamp("ns"))
+    assert ts_i64_arrow(ns).to_pylist() == [-1]
+    with pytest.raises(TypeError, match="timestamp, integer, or ISO"):
+        ts_i64_arrow(pa.array([1.5], pa.float64()))

@@ -98,36 +98,50 @@ class StreamingUpsert:
         floored pre-epoch timestamps while the live path truncates
         would mis-rank the first post-restart upsert by 1us.
 
-        Streams the (key, ts) projection BLOCK BY BLOCK: the index
-        shards max-merge (`load` keeps the larger ts), so per-block
-        routing is order-independent and the driver never holds more
-        than one block -- a 10^9-key table (the module's advertised
-        scale) would overflow both driver memory and Arrow's 2 GiB
-        string-offset limit if concatenated here.
+        Routes the (key, ts) projection to the shards INSIDE
+        ``map_batches`` workers, one block at a time: the index shards
+        max-merge (`load` keeps the larger ts), so per-block routing is
+        commutative and order-independent -- blocks load in parallel
+        across the cluster, no block is ever concatenated or even held
+        on the driver (a 10^9-key table -- the module's advertised
+        scale -- would overflow both driver memory and Arrow's 2 GiB
+        string-offset limit if gathered here).
         """
-        for ref in self.table.scan(columns=[self.key, self.ts]).to_arrow_refs():
-            t = ray.get(ref)
+        # plain locals only: capturing `self` would ship the Table and
+        # pickle this front-end into every routing task
+        shards, n, key, ts = self.shards, self.n, self.key, self.ts
+
+        def route(t: pa.Table) -> pa.Table:
+            from engine.merge import _bucket_of
+
+            done = pa.table({"loaded": pa.array([len(t)], pa.int64())})
             if len(t) == 0:
-                continue
-            keys = t.column(self.key).combine_chunks()
+                return done
+            keys = t.column(key).combine_chunks()
             t = t.filter(pc.invert(_is_missing_key(keys)))
             if len(t) == 0:
-                continue
-            keys = t.column(self.key).combine_chunks()
-            ts_us = ts_i64_arrow(t.column(self.ts).combine_chunks()).to_numpy(
+                return done
+            keys = t.column(key).combine_chunks()
+            ts_us = ts_i64_arrow(t.column(ts).combine_chunks()).to_numpy(
                 zero_copy_only=False
             )
             keys_py = keys.to_pylist()
-            sh = self._shard_of(keys)
+            sh = _bucket_of(keys, n)
             ray.get(
                 [
-                    self.shards[s].load.remote(
+                    shards[s].load.remote(
                         [keys_py[i] for i in np.flatnonzero(sh == s)],
                         ts_us[sh == s].tolist(),
                     )
-                    for s in range(self.n)
+                    for s in range(n)
                 ]
             )
+            return done
+
+        # count() drives the streaming execution to completion
+        self.table.scan(columns=[key, ts]).map_batches(
+            route, batch_format="pyarrow", zero_copy_batch=True
+        ).count()
 
     def upsert(self, batch: pa.Table) -> dict:
         """Apply one micro-batch: local merge fold -> index LWW filter ->

@@ -94,14 +94,18 @@ def main() -> None:
                 f"confirm: 8,32={ceil2['8,32']:.3f} 4,16={ceil2['4,16']:.3f}",
                 flush=True,
             )
-            if pair2 is None:
-                # a failed confirm costs ONE poll period, as documented:
-                # without this sleep a ceiling hovering at the gate
-                # tight-loops calibrations, loading the very host whose
-                # idle scaling is being measured
+            if pair2 != pair:
+                # the SAME pair must pass BOTH sweeps: firing on a pair
+                # that only passed the confirm would record a
+                # pre_gate_ceiling that never actually passed any gate
+                # (review finding), corrupting the window-quality
+                # bookkeeping BASELINE.md conclusions rest on. A failed
+                # confirm costs ONE poll period, as documented: without
+                # this sleep a ceiling hovering at the gate tight-loops
+                # calibrations, loading the very host whose idle
+                # scaling is being measured.
                 time.sleep(POLL_SECONDS)
                 continue
-            pair = pair2  # measure the pair whose window is open NOW
             n += 1
             env = dict(
                 os.environ,

@@ -313,11 +313,18 @@ def run_scaling() -> dict:
     # already-matching BENCH_INPUT_DIR (e.g. prebuilt by the watchdog
     # before any gate) is reused as-is.
     shared_env = {}
+    owned_shared = None  # built by US -> removed at the end (a
+    # caller-provided BENCH_INPUT_DIR is the caller's to keep); without
+    # cleanup each campaign pid leaked ~365 MB under /tmp
     if _reusable_input(expand) is None:
-        shared = f"/tmp/bench-shared-{os.getpid()}"
-        shutil.rmtree(shared, ignore_errors=True)
-        in_dir, _ = _build_input(shared, expand=expand)
+        owned_shared = f"/tmp/bench-shared-{os.getpid()}"
+        shutil.rmtree(owned_shared, ignore_errors=True)
+        in_dir, _ = _build_input(owned_shared, expand=expand)
         shared_env["BENCH_INPUT_DIR"] = in_dir
+    import atexit
+
+    if owned_shared is not None:
+        atexit.register(shutil.rmtree, owned_shared, ignore_errors=True)
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **shared_env)

@@ -105,20 +105,11 @@ def _rewrite_bin(
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    from engine.writer import _file_distincts, _file_stats
+    from engine.writer import _file_distincts, _file_stats, read_tables_parallel
 
     # a bin is many SMALL files by construction; reading them serially
-    # pays per-file open/decode latency len(paths) times over. Arrow
-    # releases the GIL during IO+decompression, so a small thread pool
-    # overlaps them (bounded: the bin itself is ~one target file).
-    if len(paths) > 2:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
-            tables = list(ex.map(pq.read_table, paths))
-    else:
-        tables = [pq.read_table(p) for p in paths]
-    merged = pa.concat_tables(tables, promote_options="default")
+    # pays per-file open/decode latency len(paths) times over
+    merged = pa.concat_tables(read_tables_parallel(paths), promote_options="default")
     # unique tmp per ATTEMPT: after a crashed run, orphaned in-flight
     # tasks may still be writing this bin's deterministic out_path; a
     # shared ".tmp" name lets the loser's os.replace hit

@@ -227,9 +227,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hashed=None)
     # COLUMNAR (round-3 VERDICT #8): per-row iter_rows built one Python
     # dict per winner, seconds of pure interpreter at the 2M routing cap
     win_col = f"min({id_col})"
-    keep_ids = np.sort(
-        winners.select_columns([win_col]).to_pandas()[win_col].to_numpy()
-    )
+    wdf = winners.select_columns([win_col]).to_pandas()
+    # to_pandas() of an EMPTY Dataset drops the columns (same hazard
+    # guarded in merge_datasets_wide) -- an empty corpus has no winners
+    keep_ids = np.sort(wdf[win_col].to_numpy()) if win_col in wdf.columns else np.array([], np.int64)
     keep_ref = ray.put(keep_ids)
 
     def keep_only(t: pa.Table) -> pa.Table:

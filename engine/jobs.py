@@ -304,14 +304,9 @@ def _merge_small_task(
     import pyarrow.parquet as pq
 
     from engine.merge import merge_fold_passthrough_arrow
-    from engine.writer import write_block
+    from engine.writer import read_tables_parallel, write_block
 
-    # Arrow releases the GIL during IO+decompression, so overlap the
-    # small-file reads in a thread pool (same idiom as compact's bins)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
-        tables = list(ex.map(pq.read_table, paths))
+    tables = read_tables_parallel(paths)
     merged = pa.concat_tables([align_to_schema(t, schema) for t in tables])
     block = merge_fold_passthrough_arrow(merged, key, ts)
     return [write_block(block, data_dir, prefix, stats_cols=stats_cols)]
@@ -478,14 +473,10 @@ def _cluster_small_task(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from engine.writer import write_block
+    from engine.writer import read_tables_parallel, write_block
     from engine.zorder import add_cluster_key
 
-    # overlap small-file reads in a thread pool (same idiom as compact)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
-        tables = list(ex.map(pq.read_table, paths))
+    tables = read_tables_parallel(paths)
     merged = pa.concat_tables([align_to_schema(t, schema) for t in tables])
     keyed = add_cluster_key(merged, codes, curve=curve, cols=cols)
     keyed = keyed.take(pc.sort_indices(keyed, sort_keys=[(ZKEY_COL, "ascending")]))

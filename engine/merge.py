@@ -49,6 +49,27 @@ def _is_missing_key(arr: pa.Array):
 TS_I64_MIN = int(np.iinfo(np.int64).min)
 
 
+def _parse_ts_strings(arr):
+    """ISO-8601 string column -> timestamp array. Tries us, then ns
+    (sub-us fractions), then the UTC-zoned variants (zone offsets) --
+    homogeneous columns in any of these forms parse, matching the
+    ``pd.to_datetime`` lenience of the pre-unification stream path.
+    Mixed zoned/zoneless columns fail here exactly as they did there.
+    """
+    last = None
+    for typ in (
+        pa.timestamp("us"),
+        pa.timestamp("ns"),
+        pa.timestamp("us", tz="UTC"),
+        pa.timestamp("ns", tz="UTC"),
+    ):
+        try:
+            return pc.cast(arr, typ)
+        except pa.ArrowInvalid as e:
+            last = e
+    raise TypeError(f"merge ts strings are not parseable ISO-8601 timestamps: {last}")
+
+
 def ts_i64_arrow(arr):
     """Arrow ts column -> canonical int64 (MICROSECONDS for timestamps,
     raw int64 otherwise); null -> INT64_MIN (oldest writer).
@@ -61,14 +82,16 @@ def ts_i64_arrow(arr):
     1us and (key, ts) equality checks would silently miss (ADVICE r3).
 
     Accepts timestamp, integer, or ISO-8601 string columns (strings
-    parse through Arrow's string->timestamp cast, preserving the old
-    stream path's ``pd.to_datetime`` lenience); anything else raises a
-    TypeError naming the column type instead of surfacing as a cryptic
-    mid-pipeline ArrowInvalid.
+    parse through Arrow's string->timestamp cast, trying us -> ns ->
+    zoned variants so sub-us fractions and zone offsets -- which the
+    old stream path's ``pd.to_datetime`` accepted -- still parse;
+    sub-us then truncates toward zero like every other path here);
+    anything else raises a TypeError naming the column type instead of
+    surfacing as a cryptic mid-pipeline ArrowInvalid.
     """
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        arr = pc.cast(arr, pa.timestamp("us"))
+        arr = _parse_ts_strings(arr)
         t = arr.type
     if pa.types.is_timestamp(t):
         arr = pc.cast(arr, pa.timestamp("us", tz=t.tz), safe=False)

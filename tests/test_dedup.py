@@ -533,3 +533,13 @@ def test_hash64_keys_dispatch_type_matrix():
     hi = hash64_keys(ints)
     assert hi[0] == hi[3]
     assert (hash64_keys(pd.Series([10, 7, None, 10], dtype="Int64")) == hi).all()
+
+
+def test_exact_dedup_empty_input(ray_session):
+    # regression (review): the columnar winner fetch indexed a column
+    # that to_pandas() drops when the winners Dataset is empty
+    import ray.data
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    winners, out = exact_dedup(ray.data.from_arrow(empty))
+    assert out.count() == 0

@@ -676,3 +676,19 @@ def test_ts_i64_arrow_type_contract():
     assert ts_i64_arrow(ns).to_pylist() == [-1]
     with pytest.raises(TypeError, match="timestamp, integer, or ISO"):
         ts_i64_arrow(pa.array([1.5], pa.float64()))
+
+
+def test_ts_i64_arrow_string_lenience_sub_us_and_zoned():
+    """Regression (review): string ts columns with sub-us fractions or
+    zone offsets parsed under the old pd.to_datetime stream path and
+    must keep parsing through the unified cast (us -> ns -> zoned
+    fallbacks); sub-us truncates toward zero like every other path."""
+    from engine.merge import ts_i64_arrow
+
+    assert ts_i64_arrow(pa.array(["2020-01-01T00:00:00.123456789"])).to_pylist() == [
+        1577836800123456
+    ]
+    # zone offset converts to UTC epoch micros
+    assert ts_i64_arrow(pa.array(["2020-01-01 00:00:00+05:00"])).to_pylist() == [
+        1577818800000000
+    ]

@@ -211,3 +211,23 @@ def test_bloom_string_fast_path_nulls_and_empty(ray_session):
     got = out.col.tolist()
     assert "" in got and "a" in got and "b" in got
     assert not any(v is None for v in got)
+
+
+def test_read_tables_parallel_all_sizes(tmp_path):
+    """The ONE shared small-file read idiom: empty list is safe (no
+    ThreadPoolExecutor(max_workers=0) crash), <=2 reads inline, >2
+    through the pool -- all return the same tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.writer import read_tables_parallel
+
+    assert read_tables_parallel([]) == []
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.table({"x": [i]}), p)
+        paths.append(p)
+    for k in (1, 2, 5):
+        got = read_tables_parallel(paths[:k])
+        assert [t.column("x").to_pylist() for t in got] == [[i] for i in range(k)]

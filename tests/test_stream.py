@@ -128,3 +128,61 @@ def test_streaming_preserves_arrow_types_and_nan_contract(tmp_table_root, ray_se
     assert v is not None and np.isnan(v)
     # u2: null score stays null (never fabricated)
     assert tbl.column("score")[row["u2"]].as_py() is None
+
+
+def test_stream_plus_merge_equals_batch_merge_for_monotone_arrivals(
+    tmp_table_root, ray_session
+):
+    """ARCHITECTURE contract: a row set whose arrivals are ts-monotone
+    per key yields the SAME final table via micro-batch upsert +
+    periodic MERGE INTO as via one batch MERGE over all rows --
+    including empty-value coalesce back to an earlier batch's value.
+    (Stale arrivals are the documented divergence: row-level LWW drops
+    them wholesale; not generated here.)"""
+    import numpy as np
+    import ray.data
+
+    from engine.jobs import merge_into
+    from engine.merge import merge_fold_passthrough_arrow
+
+    rng = np.random.default_rng(42)
+    keys = [f"u{i}" for i in range(12)] + [None, ""]
+    rows = []
+    t = 0
+    for _ in range(120):
+        t += 1  # globally increasing ts = ts-monotone per key
+        k = keys[rng.integers(len(keys))]
+        text = ["", "a", "b", "hello"][rng.integers(4)]
+        lang = ["", "en", "es"][rng.integers(3)]
+        rows.append((k, _ts(t), text, lang))
+
+    def batch4(rs):  # _batch ignores the 4th field; build the full row
+        return pa.table(
+            {
+                "url": [r[0] for r in rs],
+                "warc_ts": pa.array([r[1] for r in rs], pa.timestamp("us")),
+                "text": [r[2] for r in rs],
+                "lang": [r[3] for r in rs],
+            }
+        )
+
+    table = Table.create(tmp_table_root)
+    s = StreamingUpsert(table, EngineConfig(), num_shards=3)
+    for off in range(0, len(rows), 17):  # uneven micro-batches, in order
+        s.upsert(batch4(rows[off : off + 17]))
+    merge_into(table, EngineConfig(merge_buckets=4))
+    got = (
+        table.scan()
+        .to_pandas()
+        .sort_values(["url", "warc_ts", "text", "lang"], na_position="first")
+        .reset_index(drop=True)
+    )
+
+    exp = (
+        merge_fold_passthrough_arrow(batch4(rows), "url", "warc_ts")
+        .to_pandas()
+        .sort_values(["url", "warc_ts", "text", "lang"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(got[exp.columns], exp)

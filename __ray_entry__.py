@@ -82,6 +82,41 @@ def _q_merge_lww(sf_dir: str):
     return merged.select_columns(["url", "text", "lang"])
 
 
+def _q_stream_upsert(sf_dir: str):
+    """Streaming micro-batch upsert driven to a HARD SQL oracle: pages
+    sorted by warc_ts (ts-monotone arrivals per key -- the regime where
+    stream + periodic MERGE INTO equals one batch MERGE, ARCHITECTURE
+    §8, property-tested in tests/test_stream.py) feed StreamingUpsert
+    in uneven micro-batches; after MERGE INTO the scan must equal the
+    merge_lww oracle exactly. The driver loop here SIMULATES a source's
+    arrival order at test scale; in production micro-batches arrive
+    from the stream itself and the sharded actor index is the scale
+    path (O(batch) per arrival, never O(table))."""
+    import pyarrow as pa
+
+    from engine.config import EngineConfig
+    from engine.jobs import merge_into
+    from engine.manifest import Table
+    from engine.pages import read_pages
+    from engine.stream import StreamingUpsert
+
+    df = (
+        read_pages(sf_dir, with_html=False)
+        .select_columns(["url", "warc_ts", "text", "lang"])
+        .to_pandas()
+        .sort_values("warc_ts", kind="stable", na_position="first")
+    )
+    root = _tmp_root("stream")
+    cfg = EngineConfig(merge_buckets=8)
+    t = Table.create(root)
+    su = StreamingUpsert(t, cfg, num_shards=4)
+    step = max(1, len(df) // 7)
+    for off in range(0, len(df), step):
+        su.upsert(pa.Table.from_pandas(df.iloc[off : off + step], preserve_index=False))
+    merge_into(t, cfg)
+    return t.scan(columns=["url", "text", "lang"])
+
+
 def _maintained_scan(sf_dir: str, curve: str | None, do_compact: bool):
     from engine.config import EngineConfig
     from engine.jobs import cluster, compact, ingest
@@ -575,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "sanitize_text": _q_sanitize_text,
         "merge_lww": _q_merge_lww,
+        "stream_upsert": _q_stream_upsert,
         "compact_scan": _q_compact_scan,
         "zorder_scan": _q_zorder_scan,
         "hilbert_scan": _q_hilbert_scan,
@@ -822,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sanitize_text": f"SELECT doc_id, {sanitize} AS clean_text FROM documents",
         "merge_lww": merged_scan,
+        # ts-monotone arrivals: stream + MERGE INTO == one batch MERGE,
+        # so the streaming pipeline shares the batch-merge oracle
+        "stream_upsert": merged_scan,
         "compact_scan": pages_scan,
         "zorder_scan": pages_scan,
         "hilbert_scan": pages_scan,

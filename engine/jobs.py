@@ -672,6 +672,18 @@ def full_maintenance(
     table = Table.create(table_root)
     if isinstance(source, (list, tuple)):
         source = evolved_read(source)
+    # fail BEFORE the first commit on an input that can't be merged:
+    # without this, ingest commits a snapshot and the merge stage then
+    # dies mid-pipeline with a bare KeyError, leaving a half-maintained
+    # table (found via the CLI on a raw documents.parquet)
+    names = set(source.schema().names)
+    missing = [c for c in (cfg.merge_key, cfg.merge_ts) if c not in names]
+    if missing:
+        raise ValueError(
+            f"maintenance input is missing merge column(s) {missing}; "
+            f"expected a pages-shaped table (see engine.pages.read_pages "
+            f"to derive one), got columns {sorted(names)}"
+        )
     sanitize_cols = ("text",)
     if normalize:
         # fused path: sanitize rides the normalize stage (one full-data

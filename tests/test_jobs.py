@@ -430,3 +430,26 @@ def test_full_maintenance_normalize_fused(tmp_table_root, ray_session):
     # text went through the sanitizer (idempotence: re-sanitizing is a no-op)
     texts = got["text"].dropna()
     assert all(sanitize_cell(t) == t for t in texts.head(100))
+
+
+def test_full_maintenance_rejects_unmergeable_input_before_commit(
+    tmp_path, ray_session, sf_dir
+):
+    """A source without the merge key/ts must fail BEFORE the first
+    snapshot commit (previously ingest committed, then merge died with
+    a bare KeyError, leaving a half-maintained table)."""
+    import os
+
+    import pytest
+
+    from engine.config import EngineConfig
+    from engine.jobs import full_maintenance
+
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="missing merge column"):
+        full_maintenance(root, [os.path.join(sf_dir, "documents.parquet")], EngineConfig())
+    # nothing committed: no snapshot log entries exist
+    from engine.manifest import Table
+
+    t = Table.load(root)
+    assert t.current_snapshot_id() in (None, 0)

@@ -77,8 +77,15 @@ class Snapshot:
     parent_id: Optional[int]
     timestamp: float
     operation: str
-    schema_json: list  # [[name, type_str], ...]
+    schema_json: list  # [[name, type_str], ...] -- human-readable only
     files: list  # list[FileEntry]
+    #: base64 Arrow IPC serialization of the schema -- the AUTHORITATIVE
+    #: round trip. ``schema_json`` renders ``str(type)`` for humans, but
+    #: str(type) is not parseable back for parameterized types
+    #: (timestamp[us, tz=...], list<item: float>, decimal...), and a
+    #: lossy fallback silently corrupted e.g. an IVF index table's
+    #: ``embedding: list<float>`` to string on the next scan.
+    schema_ipc: str = ""
 
     @property
     def total_rows(self) -> int:
@@ -88,6 +95,8 @@ class Snapshot:
         """Schema of this already-parsed snapshot — use when the caller
         holds a Snapshot, so it does not pay a second full manifest
         parse via ``Table.arrow_schema()``."""
+        if self.schema_ipc:
+            return _schema_from_ipc(self.schema_ipc)
         return _schema_from_json(self.schema_json)
 
 
@@ -95,10 +104,28 @@ def _schema_to_json(schema: pa.Schema) -> list:
     return [[f.name, str(f.type)] for f in schema]
 
 
+def _schema_to_ipc(schema: pa.Schema) -> str:
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def _schema_from_ipc(b64: str) -> pa.Schema:
+    import base64
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64)))
+
+
 def _schema_from_json(sj: list) -> Optional[pa.Schema]:
+    """Legacy fallback for manifests written before ``schema_ipc``.
+
+    Raises on any type outside the known map rather than guessing:
+    silently mapping an unknown type to string corrupted data (bool ->
+    "true"/"false" via align_to_schema) or failed the parquet read with
+    a mismatched schema, both far worse than a loud error naming the
+    manifest as pre-IPC."""
     if not sj:
         return None
-    # minimal round-trip for the types the engine uses
     m = {
         "string": pa.string(),
         "large_string": pa.large_string(),
@@ -111,7 +138,14 @@ def _schema_from_json(sj: list) -> Optional[pa.Schema]:
         "float": pa.float32(),
         "uint64": pa.uint64(),
     }
-    return pa.schema([(n, m.get(t, pa.string())) for n, t in sj])
+    unknown = [t for _, t in sj if t not in m]
+    if unknown:
+        raise ValueError(
+            f"legacy manifest schema has types {unknown} outside the "
+            "pre-schema_ipc round-trip map; rewrite the snapshot with a "
+            "current engine commit()"
+        )
+    return pa.schema([(n, m[t]) for n, t in sj])
 
 
 class Table:
@@ -176,6 +210,7 @@ class Table:
             operation=header["operation"],
             schema_json=header["schema"],
             files=files,
+            schema_ipc=header.get("schema_ipc", ""),
         )
 
     def operation_snapshot(self, operation: str) -> Optional[int]:
@@ -186,8 +221,18 @@ class Table:
 
         Reads ONLY each snapshot's header line -- deserializing every
         snapshot's full file list would be O(total manifest bytes) per
-        idempotence check (quadratic as snapshots accumulate)."""
+        idempotence check (quadratic as snapshots accumulate).
+
+        Only snapshots at or below CURRENT count: commit() writes
+        ``snapshot-N+1.json`` BEFORE swapping CURRENT, so a crash
+        between the two leaves an orphan file whose commit never took
+        effect -- treating it as already-committed would make the
+        "resumable" rerun a silent no-op serving the pre-job table.
+        (The orphan id is reused and overwritten by the next commit.)"""
+        cur = self.current_snapshot_id()
         for sid in self.snapshot_ids():
+            if cur is None or sid > cur:
+                continue  # orphan from a crash before the CURRENT swap
             with open(self._snap_path(sid)) as f:
                 header = json.loads(f.readline())
             if header["operation"] == operation:
@@ -212,10 +257,14 @@ class Table:
             parent = self.snapshot(parent_id)
             removed = set(remove_files)
             files = [f for f in parent.files if f.path not in removed]
-            schema_json = _schema_to_json(schema) if schema is not None else parent.schema_json
+            if schema is not None:
+                schema_json, schema_ipc = _schema_to_json(schema), _schema_to_ipc(schema)
+            else:
+                schema_json, schema_ipc = parent.schema_json, parent.schema_ipc
         else:
             files = []
             schema_json = _schema_to_json(schema) if schema is not None else []
+            schema_ipc = _schema_to_ipc(schema) if schema is not None else ""
         files = files + list(add_files)
         sid = 0 if parent_id is None else parent_id + 1
         snap_path = self._snap_path(sid)
@@ -229,6 +278,7 @@ class Table:
                         "timestamp": time.time() if timestamp is None else timestamp,
                         "operation": operation,
                         "schema": schema_json,
+                        "schema_ipc": schema_ipc,
                         "num_files": len(files),
                         "total_rows": sum(fe.rows for fe in files),
                     }
@@ -267,8 +317,17 @@ class Table:
         if predicate_stats:
             files = [f for f in files if _stats_overlap(f, predicate_stats)]
         if not files:
+            # honor the projection on the empty path too: callers chain
+            # schema-sensitive ops (unique, union) onto the result
             schema = self.arrow_schema(snapshot_id)
-            return ray.data.from_arrow(schema.empty_table() if schema else pa.table({}))
+            if schema is None:
+                return ray.data.from_arrow(pa.table({}))
+            names = (
+                columns
+                if columns is not None
+                else [n for n in schema.names if not n.startswith("__")]
+            )
+            return ray.data.from_arrow(schema.empty_table().select(names))
         if columns is None:
             # default scan: visible columns come from the MANIFEST schema
             # (authoritative across schema-evolved files -- the first
@@ -297,7 +356,7 @@ class Table:
         )
 
     def arrow_schema(self, snapshot_id: Optional[int] = None) -> Optional[pa.Schema]:
-        return _schema_from_json(self.snapshot(snapshot_id).schema_json)
+        return self.snapshot(snapshot_id).arrow_schema()
 
     # -- expiration + GC (L3/L4) ------------------------------------------
 

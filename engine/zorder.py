@@ -124,7 +124,10 @@ def collect_lang_codes(ds, col: str = "lang") -> dict:
     ``unique`` is a shuffle of pre-aggregated partials, cheap at any
     scale.
     """
-    vals = sorted(v for v in ds.unique(col) if v is not None)
+    # ds.unique returns None (not []) on a zero-row dataset, e.g. a
+    # fresh table's scan -- clustering an empty table is a no-op, not
+    # an error
+    vals = sorted(v for v in (ds.unique(col) or []) if v is not None)
     return {v: i for i, v in enumerate(vals)}
 
 

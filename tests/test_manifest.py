@@ -218,3 +218,106 @@ def test_open_bounds_keep_all_null_distinct_file(tmp_table_root):
 
     assert _stats_overlap(fe, {"lang": (None, None)})       # open bounds: keep
     assert not _stats_overlap(fe, {"lang": ("en", "en")})   # no non-null values: prune
+
+
+def test_schema_ipc_roundtrips_parameterized_types(tmp_table_root, ray_session):
+    """The manifest schema round trip must be EXACT for types outside
+    the legacy 10-entry str(type) map -- bool, tz-aware/ns timestamps,
+    list<float> (an IVF index table's embedding column). The old
+    fallback silently mapped these to pa.string(), corrupting the next
+    scan."""
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("ok", pa.bool_()),
+            ("warc_ts", pa.timestamp("ns", tz="UTC")),
+            ("embedding", pa.list_(pa.float32())),
+            ("d", pa.date32()),
+        ]
+    )
+    t = Table.create(tmp_table_root, schema=schema)
+    assert t.arrow_schema() == schema
+    # inherited (schema=None) commits carry the ipc forward
+    t.commit("noop", add_files=[])
+    assert t.arrow_schema() == schema
+    # a table with data in those types scans back type-intact
+    tbl = pa.table(
+        {
+            "url": ["a", "b"],
+            "ok": [True, False],
+            "warc_ts": pa.array([1, 2], pa.timestamp("ns", tz="UTC")),
+            "embedding": pa.array([[1.0], [2.0]], pa.list_(pa.float32())),
+            "d": pa.array([0, 1], pa.date32()),
+        }
+    )
+    fe = FileEntry.from_json(write_block(tbl, t.data_dir, "x", filename="a.parquet"))
+    t.commit("ingest", [fe], schema=tbl.schema)
+    out = t.scan().take_all()
+    assert t.arrow_schema() == tbl.schema
+    assert sorted(r["url"] for r in out) == ["a", "b"]
+
+
+def test_legacy_manifest_unknown_type_raises(tmp_table_root):
+    """Pre-schema_ipc manifests with a type outside the map must fail
+    LOUD, not silently read the column as string."""
+    import json
+
+    t = Table.create(tmp_table_root)
+    snap_path = t._snap_path(0)
+    with open(snap_path) as f:
+        header = json.loads(f.readline())
+    header["schema"] = [["ok", "bool"]]
+    header.pop("schema_ipc", None)
+    with open(snap_path, "w") as f:
+        f.write(json.dumps(header) + "\n")
+    with pytest.raises(ValueError, match="bool"):
+        t.arrow_schema()
+
+
+def test_operation_snapshot_ignores_orphan_beyond_current(tmp_table_root):
+    """A crash between snapshot-file write and the CURRENT swap leaves
+    an orphan snapshot; a resumed job must NOT treat it as
+    already-committed (the commit never took effect)."""
+    import json
+    import shutil
+
+    t = Table.create(tmp_table_root)
+    a = _mk_file(t, "a.parquet")
+    t.commit("job:alpha", [a])
+    cur = os.path.join(t.manifest_dir, "CURRENT")
+    with open(cur) as f:
+        saved = f.read()
+    # simulate the crash: commit job:beta fully, then roll CURRENT back
+    b = _mk_file(t, "b.parquet")
+    t.commit("job:beta", [b])
+    with open(cur, "w") as f:
+        f.write(saved)
+    assert t.operation_snapshot("job:alpha") == 1
+    assert t.operation_snapshot("job:beta") is None
+    # the orphan id is reused by the next real commit
+    c = _mk_file(t, "c.parquet")
+    s = t.commit("job:gamma", [c])
+    assert s.snapshot_id == 2
+    assert t.operation_snapshot("job:gamma") == 2
+
+
+def test_empty_scan_honors_projection(tmp_table_root, ray_session):
+    """scan(columns=...) on a zero-file snapshot (fresh table, or all
+    files stats-pruned) must return the projected schema, and the
+    default scan must hide __internal columns -- consumers chain
+    unique()/union() onto the result."""
+    schema = pa.schema(
+        [("url", pa.string()), ("lang", pa.string()), ("__list", pa.int64())]
+    )
+    t = Table.create(tmp_table_root, schema=schema)
+    ds = t.scan(columns=["lang"])
+    assert ds.schema().names == ["lang"]
+    from engine.zorder import collect_lang_codes
+
+    assert collect_lang_codes(ds) == {}
+    assert t.scan().schema().names == ["url", "lang"]
+    # stats-pruned-to-empty keeps the projection too
+    fe = _mk_file(t, "en.parquet", lang=("en", "en"))
+    t.commit("ingest", [fe], schema=schema)
+    pruned = t.scan(columns=["lang"], predicate_stats={"lang": ("zz", "zz")})
+    assert pruned.schema().names == ["lang"]

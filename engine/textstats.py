@@ -48,12 +48,18 @@ _STOP_PACKS = np.sort(
 )
 
 
-#: byte -> class bits: 1 alpha, 2 digit, 4 ascii-ws, 8 upper
+#: byte -> class bits: 1 alpha, 2 digit, 4 ascii-ws, 8 upper.
+#: The whitespace set is Python's unicode ``\s`` restricted to ASCII --
+#: \t\n\v\f\r, space, AND the four separator controls \x1c-\x1f (FS GS
+#: RS US) -- because the fast path's contract is byte-exact parity with
+#: the regex fallback (same set as dedup._WS_BYTES; omitting \x1c-\x1f
+#: made the same document count differently depending on whether its
+#: batch happened to contain a non-ASCII byte elsewhere).
 _CLS = np.zeros(256, np.uint8)
 _CLS[65:91] |= 1 | 8
 _CLS[97:123] |= 1
 _CLS[48:58] |= 2
-for _c in (32, 9, 10, 11, 12, 13):
+for _c in b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ":
     _CLS[_c] |= 4
 
 #: lowercase map (A-Z -> a-z, everything else identity)

@@ -258,9 +258,12 @@ def test_textstats_ascii_fast_path_parity(monkeypatch):
     ts = TextStats()
     cases = ["", " ", "the", " the ", "the the", "The.", "a a a a", "  ",
              "THE OF AND", "have\tfrom\nor", "\v\f\r", "xto tox", "w" * 5,
-             "this is a test of the stopword packer", "a-b_c", "12 34", "..."]
+             "this is a test of the stopword packer", "a-b_c", "12 34", "...",
+             # ASCII separator controls \x1c-\x1f are Python-\s
+             # whitespace: they must split tokens on BOTH paths
+             "a\x1cb", "the\x1dof", "\x1e\x1f", "x\x1c the"]
     rng = np.random.default_rng(7)
-    alphabet = list("abcdefgh THEOFand.,;!?0123456789\t\n")
+    alphabet = list("abcdefgh THEOFand.,;!?0123456789\t\n\x1c\x1f")
     for _ in range(300):
         cases.append("".join(rng.choice(alphabet, rng.integers(0, 60))))
     cases.append("the " * 50000)  # oversized single-row span, sums > int16

@@ -526,12 +526,22 @@ def _band_rows(sig_table: pa.Table, bands: int, id_col: str) -> pa.Table:
     )
     ids = sig_table.column(id_col).to_numpy(zero_copy_only=False)
     n, num_perm = sigs.shape
+    if bands > num_perm:
+        # r=0 would hash EVERY signature to the same empty-chunk value
+        # and all docs would collide in all bands
+        raise ValueError(f"bands ({bands}) must be <= num_perm ({num_perm})")
     r = num_perm // bands
     out_band, out_hash, out_id = [], [], []
     for bidx in range(bands):
-        chunk = sigs[:, bidx * r : (bidx + 1) * r]
+        lo = bidx * r
+        # last band absorbs the remainder (same idiom as the simhash
+        # band split): every permutation paid for in the signature
+        # stage participates in the LSH curve, instead of silently
+        # dropping num_perm % bands trailing lanes
+        hi = num_perm if bidx == bands - 1 else lo + r
+        chunk = sigs[:, lo:hi]
         h = np.zeros(n, dtype=np.uint64)
-        for j in range(r):
+        for j in range(hi - lo):
             h = _mix64(h ^ chunk[:, j])
         out_band.append(np.full(n, bidx, dtype=np.int32))
         out_hash.append(h)

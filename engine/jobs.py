@@ -37,12 +37,19 @@ from engine import compact as compact_mod
 
 def unify_parquet_schemas(paths: list) -> pa.Schema:
     """Driver-side footer scan -> unified schema. Footers are metadata-only
-    reads (no row groups); for very many files fan this out with
-    ``ray.remote`` -- at 10^6 files it is an embarrassingly parallel
-    metadata pass, here a loop suffices."""
+    reads (no row groups), pooled so per-file open latency overlaps; for
+    very many files fan this out with ``ray.remote`` -- at 10^6 files it
+    is an embarrassingly parallel metadata pass."""
     import pyarrow.parquet as pq
 
-    return pa.unify_schemas([pq.read_schema(p) for p in paths])
+    if len(paths) <= 2:
+        schemas = [pq.read_schema(p) for p in paths]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            schemas = list(ex.map(pq.read_schema, paths))
+    return pa.unify_schemas(schemas)
 
 
 def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -62,11 +69,18 @@ def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
 def evolved_read(paths: list, columns: Optional[list] = None) -> "ray.data.Dataset":
     """read_parquet across files with heterogeneous-but-unifiable schemas:
     missing columns surface as nulls (the manifest's ``fields`` list grown
-    dynamically, reference ``transposer.py:48-49``)."""
+    dynamically, reference ``transposer.py:48-49``).
+
+    ``columns`` projects AFTER the schema-unified read: passing a
+    partial schema together with ``columns=`` to read_parquet fails on
+    any file missing a selected column (the reader validates each
+    file's pruned schema against the partial one), the same limitation
+    ``Table.scan`` documents."""
     schema = unify_parquet_schemas(paths)
+    ds = ray.data.read_parquet(paths, schema=schema)
     if columns:
-        schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(paths, schema=schema, columns=columns)
+        ds = ds.select_columns(list(columns))
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -224,14 +238,16 @@ def ingest_sharded(
     }
 
 
-def payload_column_shares(table: Table, sample_files: int = 4) -> dict:
+def payload_column_shares(table: Table, sample_files: int = 4, live=None) -> dict:
     """Per-column compressed-byte share, from a few parquet FOOTERS
     (metadata-only IO). Drives the wide-merge auto-routing decision:
     at 100 TB the html payload dominates table bytes, and shipping it
-    through the merge exchange is the round-1 VERDICT scale-killer #3."""
+    through the merge exchange is the round-1 VERDICT scale-killer #3.
+    ``live``: pass an already-parsed file list to skip the manifest
+    parse (a 10^6-file manifest is a real pass)."""
     import pyarrow.parquet as pq
 
-    files = table.live_files()
+    files = live if live is not None else table.live_files()
     step = max(1, len(files) // sample_files)
     agg: dict = {}
     total = 0
@@ -248,12 +264,19 @@ def payload_column_shares(table: Table, sample_files: int = 4) -> dict:
     return {k: v / total for k, v in agg.items()}
 
 
-def _auto_wide_cols(table: Table, cfg: EngineConfig) -> list:
+def _auto_wide_cols(table: Table, cfg: EngineConfig, snap=None) -> list:
     """Binary columns worth routing through the two-phase wide merge:
     payload share >= cfg.merge_wide_share on a table >=
     cfg.merge_wide_min_bytes. Below the size floor the single-pass
-    merge wins (the wide path costs a second input scan)."""
-    schema = table.arrow_schema()
+    merge wins (the wide path costs a second input scan).
+
+    ``snap``: the caller's already-parsed Snapshot; without it this
+    probe would re-deserialize the full manifest up to three times
+    (schema + two file-list walks) inside merge_into's documented
+    one-parse budget."""
+    if snap is None:
+        snap = table.snapshot()
+    schema = snap.arrow_schema()
     if schema is None:
         return []
     binary_cols = [
@@ -269,10 +292,10 @@ def _auto_wide_cols(table: Table, cfg: EngineConfig) -> list:
         alive = [n for n in ray.nodes() if n.get("Alive", False)] if ray.is_initialized() else []
         if len(alive) <= 1:
             return []  # no network to save: single-pass merge wins
-    total_bytes = sum(f.bytes for f in table.live_files())
+    total_bytes = sum(f.bytes for f in snap.files)
     if total_bytes < cfg.merge_wide_min_bytes:
         return []
-    shares = payload_column_shares(table)
+    shares = payload_column_shares(table, live=snap.files)
     return [c for c in binary_cols if shares.get(c, 0.0) >= cfg.merge_wide_share]
 
 
@@ -353,7 +376,7 @@ def merge_into(
     names = set(schema.names) if schema is not None else set()
     wide = [c for c in (cfg.merge_wide_cols or ()) if c in names]
     if not wide and cfg.merge_wide_auto:
-        wide = _auto_wide_cols(table, cfg)
+        wide = _auto_wide_cols(table, cfg, snap=snap)
     if (
         not wide
         and source is None
@@ -703,9 +726,12 @@ def full_maintenance(
 
 
 def _entries_schema(entries: list) -> Optional[pa.Schema]:
-    """Schema of the just-written files, from one footer (metadata-only)."""
+    """Unified schema of the just-written files (pooled metadata-only
+    footer reads). All footers, not just the first: a source Dataset's
+    blocks need not share one schema (e.g. a user union of two parquet
+    reads without evolved_read alignment), and committing whichever
+    file happened to land first silently dropped the other blocks'
+    evolved columns from every subsequent scan."""
     if not entries:
         return None
-    import pyarrow.parquet as pq
-
-    return pq.read_schema(entries[0].path)
+    return unify_parquet_schemas([e.path for e in entries])

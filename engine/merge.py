@@ -525,8 +525,7 @@ def merge_datasets_wide(
 
     # union requires one schema: align both sides to the superset
     # (missing columns null-filled), then tag the side.
-    in_schema = light.schema()
-    type_of = dict(zip(in_schema.names, in_schema.types))
+    type_of = dict(zip(in_schema0.names, in_schema0.types))
     union_schema = pa.schema(
         [(n, type_of[n]) for n in schema_names]
         + [(c, pa.int64()) for c in wts_cols]  # canonical int64 winner ts

@@ -543,3 +543,41 @@ def test_exact_dedup_empty_input(ray_session):
     empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     winners, out = exact_dedup(ray.data.from_arrow(empty))
     assert out.count() == 0
+
+
+def test_band_rows_uses_every_permutation_lane():
+    """num_perm % bands lanes must participate (last band absorbs the
+    remainder) and bands > num_perm must fail loud -- with r=0 every
+    doc would collide in every band."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from engine.dedup import _band_rows
+
+    sigs = np.arange(14, dtype=np.uint64).reshape(2, 7)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "signature": pa.array(
+                [s.tolist() for s in sigs], pa.list_(pa.uint64(), 7)
+            ),
+        }
+    )
+    out = _band_rows(t, bands=3, id_col="doc_id")
+    assert out.num_rows == 6  # 2 docs x 3 bands
+    # rows 0..6 differ between the docs in every lane, so no band may
+    # collide; in particular the LAST band must see lanes 6 (doc1) vs
+    # 13 (doc2) -- a dropped remainder would still differ here, so
+    # instead check sensitivity: flipping ONLY the remainder lane
+    # changes the last band's hash
+    sigs2 = sigs.copy()
+    sigs2[0, 6] ^= np.uint64(0xDEAD)
+    t2 = t.set_column(
+        1, "signature", pa.array([s.tolist() for s in sigs2], pa.list_(pa.uint64(), 7))
+    )
+    h1 = _band_rows(t, bands=3, id_col="doc_id").column("band_hash").to_pylist()
+    h2 = _band_rows(t2, bands=3, id_col="doc_id").column("band_hash").to_pylist()
+    assert h1[:4] == h2[:4] and h1[4] != h2[4]  # only doc1's last band moves
+    with pytest.raises(ValueError, match="bands"):
+        _band_rows(t, bands=8, id_col="doc_id")

@@ -453,3 +453,45 @@ def test_full_maintenance_rejects_unmergeable_input_before_commit(
 
     t = Table.load(root)
     assert t.current_snapshot_id() in (None, 0)
+
+
+def test_evolved_read_columns_on_heterogeneous_files(tmp_path, ray_session):
+    """columns= must project after the schema-unified read: a partial
+    schema + column pruning fails inside Ray's reader on any file
+    missing a selected column."""
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), str(tmp_path / "1.parquet"))
+    pq.write_table(pa.table({"a": [3], "c": [1.5]}), str(tmp_path / "2.parquet"))
+    out = evolved_read(
+        [str(tmp_path / "1.parquet"), str(tmp_path / "2.parquet")], columns=["a", "c"]
+    ).take_all()
+    assert sorted((r["a"], r["c"]) for r in out) == [(1, None), (2, None), (3, 1.5)]
+
+
+def test_ingest_unifies_heterogeneous_block_schemas(tmp_path, ray_session):
+    """The committed manifest schema must be the union over ALL written
+    files, not whichever block's file landed first: otherwise evolved
+    columns vanish from every subsequent scan."""
+    pq.write_table(
+        pa.table({"url": ["u1"], "warc_ts": pa.array([1], pa.timestamp("us"))}),
+        str(tmp_path / "old.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["u2"],
+                "warc_ts": pa.array([2], pa.timestamp("us")),
+                "lang": ["en"],
+            }
+        ),
+        str(tmp_path / "new.parquet"),
+    )
+    # a UNION of two separate reads: blocks do NOT share a schema (no
+    # evolved_read alignment on purpose)
+    src = ray.data.read_parquet(str(tmp_path / "old.parquet")).union(
+        ray.data.read_parquet(str(tmp_path / "new.parquet"))
+    )
+    t = Table.create(str(tmp_path / "tbl"))
+    ingest(t, src, CFG, sanitize_cols=())
+    assert set(t.arrow_schema().names) == {"url", "warc_ts", "lang"}
+    rows = {r["url"]: r.get("lang") for r in t.scan().take_all()}
+    assert rows == {"u1": None, "u2": "en"}

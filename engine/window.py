@@ -19,10 +19,29 @@ kernels. Ordering assumption: all rows of one key land in one bucket
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from engine.merge import _add_bucket
+
+def _add_window_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    """hash(key) % B with ALL null keys routed to one bucket.
+
+    NOT merge's ``_add_bucket``: merge round-robins null keys because
+    they pass through unmerged, but a window treats NULL as one key
+    group (SQL ``GROUP BY`` / ``PARTITION BY`` semantics) -- scattering
+    its rows across buckets would sessionize the null group per-bucket.
+    Empty strings are a distinct ordinary key and hash consistently."""
+    import pyarrow.compute as pc
+
+    from engine.dedup import hash64_keys
+
+    col = batch.column(key)
+    buckets = (hash64_keys(col) % np.uint64(num_buckets)).astype(np.int64)
+    nulls = pc.is_null(col.combine_chunks()).to_numpy(zero_copy_only=False)
+    if nulls.any():
+        buckets[nulls] = 0
+    return batch.append_column("__bucket", pa.array(buckets))
 
 
 def _sessionize_frame(df: pd.DataFrame, key: str, ts: str, gap_us: int) -> pd.DataFrame:
@@ -31,9 +50,22 @@ def _sessionize_frame(df: pd.DataFrame, key: str, ts: str, gap_us: int) -> pd.Da
     # defaults to ns timestamps, and raw astype(int64) would compare ns
     # against gap_us (1000x off -> every event its own session)
     t = pd.to_datetime(df[ts]).astype("datetime64[us]").astype("int64")
-    new_key = df[key] != df[key].shift()
+    k = df[key]
+    isna = k.isna()
+    # null keys are ONE group: value != NaN compares True, so mask the
+    # null->null continuation (sort_values puts nulls contiguous); a
+    # plain dropna groupby left those rows out of the cumsum and the
+    # aligned assignment filled NaN, upcasting session_seq to float64
+    # only in blocks whose bucket happened to contain a null key
+    new_key = (k != k.shift()) & ~(isna & isna.shift(fill_value=False))
     gap_break = (t - t.shift()) > gap_us
-    df["session_seq"] = (new_key | gap_break).groupby(df[key].to_numpy()).cumsum().astype("int64") - 1
+    df["session_seq"] = (
+        (new_key | gap_break)
+        .groupby(k.to_numpy(), dropna=False)
+        .cumsum()
+        .astype("int64")
+        - 1
+    )
     return df
 
 
@@ -41,7 +73,7 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float = 18
     """Append ``session_seq`` per key under a gap rule (session window)."""
     gap_us = int(gap_seconds * 1_000_000)
     keyed = ds.map_batches(
-        _add_bucket,
+        _add_window_bucket,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"key": key, "num_buckets": num_buckets},
@@ -61,7 +93,7 @@ def session_stats(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float =
     are final), and only ``(key, ts)`` ride the exchange."""
     gap_us = int(gap_seconds * 1_000_000)
     keyed = ds.select_columns([key, ts]).map_batches(
-        _add_bucket,
+        _add_window_bucket,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"key": key, "num_buckets": num_buckets},
@@ -69,7 +101,7 @@ def session_stats(ds, key: str = "user_id", ts: str = "ts", gap_seconds: float =
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = _sessionize_frame(df.drop(columns=["__bucket"]), key, ts, gap_us)
-        g = df.groupby(key)["session_seq"].agg(["max", "size"]).reset_index()
+        g = df.groupby(key, dropna=False)["session_seq"].agg(["max", "size"]).reset_index()
         g["n_sessions"] = (g["max"] + 1).astype("int64")
         g["n_events"] = g["size"].astype("int64")
         return g[[key, "n_sessions", "n_events"]]

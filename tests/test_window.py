@@ -85,3 +85,28 @@ def test_sessionize_handles_ns_timestamps():
     df["ts"] = df["ts"].astype("datetime64[ns]")
     out = _sessionize_frame(df, "user_id", "ts", gap_us=30 * 60 * 1_000_000)
     assert out[out.user_id == 1].session_seq.tolist() == [0, 0, 1, 1]
+
+
+def test_sessionize_null_keys_one_group_int64(ray_session):
+    """NULL keys are ONE key group (SQL GROUP BY/PARTITION BY), routed
+    to a single bucket; session_seq stays int64 in every block (a
+    dropna groupby used to emit NaN/float64 only in buckets containing
+    a null key)."""
+    t = pa.table(
+        {
+            "user_id": pa.array([None, None, None, "u7", "u7"], pa.string()),
+            "ts": pa.array(
+                [_ts(0), _ts(10), _ts(100), _ts(0), _ts(5)], pa.timestamp("us")
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = sessionize(ds, gap_seconds=1800.0, num_buckets=4).to_pandas()
+    assert str(out["session_seq"].dtype) == "int64"
+    null_seq = out[out.user_id.isna()].sort_values("ts").session_seq.tolist()
+    assert null_seq == [0, 0, 1]
+    assert out[out.user_id == "u7"].session_seq.tolist() == [0, 0]
+    stats = session_stats(ds, gap_seconds=1800.0, num_buckets=4).to_pandas()
+    bynull = stats[stats.user_id.isna()]
+    assert len(bynull) == 1
+    assert bynull.n_sessions.iloc[0] == 2 and bynull.n_events.iloc[0] == 3

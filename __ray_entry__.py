@@ -24,12 +24,6 @@ from typing import Any
 import numpy as np
 
 
-def _pages_cte():
-    from engine.pages import PAGES_CTE
-
-    return PAGES_CTE
-
-
 def _tmp_root(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"graft-{tag}-")
 
@@ -205,18 +199,29 @@ def _q_quality_ratios(sf_dir: str):
 
 def _q_lang_counts(sf_dir: str):
     import ray.data
+    from engine.aggregates import group_count_null_safe
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    out = ds.groupby("lang").count().to_pandas()
-    return out.rename(columns={"count()": "n"})
+    # NULL-safe: Ray's sort-based groupby crashes on None keys; SQL
+    # GROUP BY keeps NULL as one group
+    return group_count_null_safe(ds, "lang")
 
 
 def _q_top_langs(sf_dir: str):
     import ray.data
 
+    from engine.aggregates import group_count_null_safe
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    out = ds.groupby("lang").count()
-    return out.sort("count()", descending=True).limit(3).to_pandas().rename(columns={"count()": "n"})
+    out = group_count_null_safe(ds, "lang")
+    # the grouped result is O(langs) -- driver sort is fine; secondary
+    # key = lang so the LIMIT boundary is deterministic when two langs
+    # tie on count (na_position='last' = DuckDB's ASC NULLS LAST)
+    return (
+        out.sort_values(["n", "lang"], ascending=[False, True], na_position="last")
+        .head(3)
+        .reset_index(drop=True)
+    )
 
 
 def _q_distinct_ratio(sf_dir: str):
@@ -225,7 +230,8 @@ def _q_distinct_ratio(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    distinct = len(ds.unique("lang"))
+    # SQL count(DISTINCT ...) semantics: NULL is not a distinct value
+    distinct = sum(1 for v in ds.unique("lang") if v is not None)
     total = ds.count()
     return pd.DataFrame({"distinct_ratio": [1.0 - distinct / total]})
 
@@ -519,9 +525,6 @@ def _q_ivf_topk(sf_dir: str):
     measured recall@5 at nprobe=4/16 on these unclustered random
     embeddings is 0.5-0.68, so a 0.9 floor is unreachable and equality
     at full probe is the strongest honest check."""
-    import os
-    import shutil
-
     import ray.data
     from engine.similarity import build_ivf_index, ivf_topk_indexed
 
@@ -679,31 +682,68 @@ def oracle_sql() -> dict[str, str]:
     )
     pages_scan = PAGES_CTE + "SELECT url, text, lang FROM pages"
 
-    n_tokens = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
-    n_words = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
-    n_alpha = "len(regexp_extract_all(text, '[A-Za-z]'))"
-    n_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    # Python unicode \s as an explicit RE2 class: the engine tokenizes
+    # with Python \S+ (textstats TOKEN_PATTERN, dedup shingles), while
+    # RE2's own \s is ASCII [\t\n\f\r ] -- it misses \x0b, \x1c-\x1f and
+    # every unicode space, so an oracle using bare '\s' diverges on any
+    # corpus containing them. Verified char-for-char against
+    # re.match(r"\s") over the BMP in
+    # tests/test_entry_contract.py::test_oracle_ws_class_is_python_s.
+    pys = (
+        r"\t\n\x0b\f\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
+        r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+    )
+    # engine text kernels fill NULL text with '' (pc.fill_null) before
+    # counting -- the oracles must coalesce the same way
+    txt = "coalesce(text, '')"
+    n_chars = f"length({txt})"
+    n_tokens = f"len(regexp_extract_all({txt}, '[^{pys}]+'))"
+    n_words = f"len(regexp_extract_all({txt}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{pys}]'))"
+    n_alpha = f"len(regexp_extract_all({txt}, '[A-Za-z]'))"
+    n_punct = f"len(regexp_extract_all({txt}, '[^A-Za-z0-9{pys}]'))"
     stopwords = "'the','of','and','a','to','in','is','you','that','it','he','was','for','on','are','as','with','his','they','at','be','this','have','from','or'"
     n_stop = (
-        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"len(list_filter(regexp_extract_all(lower({txt}), '[^{pys}]+'), "
         f"x -> x IN ({stopwords})))"
     )
 
-    type_patterns = [
-        r"^\s*$",
-        r"^-?\d+$",
-        r"^-?\d+[.,]\d+(e[+-]?\d+)?$",
-        r"^(http|https)://[^\s/$.?#].[^\s]*$",
-        r"^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+$",
-        r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2})?)?$",
-        r"^\d{1,2}[/-]\d{1,2}[/-]\d{2,4}$",
-        r"^[Nn]/?[Aa]$",
-        r"^[A-Za-z0-9\s\-_]+$",
-    ]
-    # DuckDB string literals are raw (no backslash escapes): only quotes
-    # need doubling.
+    def _re2(pat: str) -> str:
+        """Rewrite a Python-re pattern to a match-equal RE2 one:
+        ``\\d`` -> ``\\p{Nd}`` (Python \\d is unicode Nd, RE2's is
+        ASCII) and ``\\s`` -> the explicit class above (content-only
+        inside ``[...]``). DuckDB string literals are raw, so only
+        quotes need doubling afterwards."""
+        out: list[str] = []
+        i, in_class = 0, False
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\" and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                if nxt == "d":
+                    out.append(r"\p{Nd}")
+                elif nxt == "s":
+                    out.append(pys if in_class else f"[{pys}]")
+                else:
+                    out.append(pat[i : i + 2])
+                i += 2
+                continue
+            if c == "[" and not in_class:
+                in_class = True
+            elif c == "]" and in_class:
+                in_class = False
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    # built FROM engine.infer.TYPE_PATTERNS so oracle and engine cannot
+    # drift; trim strips the same explicit set pandas .str.strip() does
+    # (DuckDB's bare trim() strips spaces only)
+    from engine.infer import TYPE_PATTERNS
+
+    trim_text = f"trim({txt}, '{ws}')"
     type_match = " OR ".join(
-        "regexp_matches(trim(text), '" + p.replace("'", "''") + "')" for p in type_patterns
+        f"regexp_matches({trim_text}, '" + _re2(p.pattern).replace("'", "''") + "')"
+        for p in TYPE_PATTERNS
     )
 
     ann = """
@@ -750,11 +790,10 @@ def oracle_sql() -> dict[str, str]:
     # --- minhash_pairs: exact all-pairs word-3-gram Jaccard >= 0.5.
     # Mirrors engine.dedup.word_shingles/jaccard_ngrams: \S+ tokens of
     # lower(text); < 3 tokens -> one joined shingle; both-empty -> 1.0.
-    minhash_pairs = r"""
+    minhash_pairs = rf"""
         WITH tk AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                             t -> t <> '') AS tk
+                 regexp_extract_all(lower(coalesce(text, '')), '[^{pys}]+') AS tk
           FROM documents
         ), sh AS (
           SELECT doc_id, CASE
@@ -782,9 +821,9 @@ def oracle_sql() -> dict[str, str]:
     # SQL (engine.dedup.simhash_texts hasher="md5": token hash = top 8
     # bytes of md5; bit i set iff strictly more tokens have it set),
     # then brute-force Hamming join at radius 8.
-    simhash_pairs = r"""
+    simhash_pairs = rf"""
         WITH toks AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+          SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[^{pys}]+')) AS tok
           FROM documents
         ), th AS (
           SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks
@@ -873,18 +912,18 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": ann,
         "lsh_embed_pairs": lsh_pairs,
         "token_stats": (
-            f"SELECT doc_id, length(text) AS n_chars, {n_tokens} AS n_tokens, "
+            f"SELECT doc_id, {n_chars} AS n_chars, {n_tokens} AS n_tokens, "
             f"{n_words} AS n_words FROM documents"
         ),
         "quality_ratios": (
             "SELECT doc_id, "
-            f"CASE WHEN length(text) > 0 THEN {n_alpha} / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio, "
-            f"CASE WHEN length(text) > 0 THEN {n_punct} / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+            f"CASE WHEN {n_chars} > 0 THEN {n_alpha} / CAST({n_chars} AS DOUBLE) ELSE 0.0 END AS alpha_ratio, "
+            f"CASE WHEN {n_chars} > 0 THEN {n_punct} / CAST({n_chars} AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
             f"CASE WHEN {n_tokens} > 0 THEN {n_stop} / CAST({n_tokens} AS DOUBLE) ELSE 0.0 END AS stop_ratio "
             "FROM documents"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
-        "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC LIMIT 3",
+        "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
         "distinct_ratio": (
             "SELECT 1.0 - count(DISTINCT lang) / CAST(count(*) AS DOUBLE) AS distinct_ratio FROM documents"
         ),
@@ -940,7 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": (
             "SELECT doc_id FROM documents WHERE "
             f"{n_tokens} >= 20 AND "
-            f"{n_alpha} / CAST(length(text) AS DOUBLE) >= 0.7 AND "
+            f"CASE WHEN {n_chars} > 0 THEN {n_alpha} / CAST({n_chars} AS DOUBLE) ELSE 0.0 END >= 0.7 AND "
             f"{n_stop} / CAST({n_tokens} AS DOUBLE) >= 0.02"
         ),
         "pruned_scan": PAGES_CTE + "SELECT url, text, lang FROM pages WHERE lang = 'zh'",

@@ -59,6 +59,34 @@ def ratio_distributed(partials_ds, num_col: str, den_col: str) -> float:
     return float(parts[num_col].sum() / den) if den else 0.0
 
 
+def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
+    """Grouped count that tolerates NULL keys. Ray's sort-based groupby
+    cannot compare ``None`` with a string (``'<' not supported``), so a
+    NULL-keyed corpus crashes ``ds.groupby(col).count()`` outright. Here
+    each batch pre-aggregates onto the composite ``(fillna(''), __isnull)``
+    key -- collision-free (a true ``''`` has ``__isnull=0``) and
+    NULL-free, so the distributed final groupby works -- then NULL is
+    restored on the (tiny) result. Rows shuffled = O(keys x batches),
+    the combiner pattern, not O(rows). SQL semantics: NULL is one group
+    (matches ``GROUP BY col``)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        comp = pd.DataFrame({col: s.fillna(""), "__isnull": s.isna().astype("int64")})
+        g = comp.groupby([col, "__isnull"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "__pn"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = parts.groupby([col, "__isnull"]).sum("__pn").to_pandas()
+    out = pd.DataFrame(
+        {
+            col: agg[col].where(agg["__isnull"] == 0, other=None),
+            out_col: agg["sum(__pn)"].astype("int64"),
+        }
+    )
+    return out
+
+
 def grouped_sum_count(ds, key: str, value_col: str):
     """Pre-aggregated grouped sum+count: per-batch pandas groupby emits
     one partial row per key per batch; the exchange then moves partials

@@ -189,10 +189,17 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """
     import hashlib
 
+    # NULL is its own group, distinct from '' (SQL GROUP BY semantics,
+    # matching the exact_dedup oracle): a fixed sentinel hash for nulls
+    # carries the same 2^-64 accidental-collision risk already accepted
+    # for the content hash itself.
+    null_h = np.uint64(0xD6E8FEB86659FD93)
     texts = batch.column(text_col).to_pylist()
     h = np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).digest(), "little")
+            null_h
+            if t is None
+            else int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
             for t in texts
         ),
         dtype=np.uint64,

@@ -76,8 +76,24 @@ def salted_group_count(ds, col: str, threshold_rows: int = None, salt_buckets: i
         cfg = EngineConfig()
     threshold_rows = threshold_rows if threshold_rows is not None else cfg.salt_threshold_rows
     salt_buckets = salt_buckets if salt_buckets is not None else cfg.salt_buckets
-    heavy = detect_heavy_keys(ds, col, threshold_rows)
-    salted = add_salt(ds.select_columns([col]), col, heavy, salt_buckets)
-    partials = salted.groupby([col, "__salt"]).count().to_pandas()
-    out = partials.groupby(col, as_index=False)["count()"].sum()
-    return out.rename(columns={"count()": "n"}), heavy
+
+    # NULL-safe key encoding (Ray's sort-based groupby cannot compare
+    # None): fillna('') + an __isnull flag; '' and NULL may share a salt
+    # decision (harmless -- over-salting is correct) but never a count
+    # group. SQL semantics: NULL is one group.
+    def encode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t.column(col)
+        isnull = pc.is_null(key).cast(pa.int64())
+        return pa.table({col: pc.fill_null(key, ""), "__isnull": isnull})
+
+    enc = ds.select_columns([col]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    heavy = detect_heavy_keys(enc, col, threshold_rows)
+    salted = add_salt(enc, col, heavy, salt_buckets)
+    partials = salted.groupby([col, "__isnull", "__salt"]).count().to_pandas()
+    out = partials.groupby([col, "__isnull"], as_index=False)["count()"].sum()
+    out[col] = out[col].where(out["__isnull"] == 0, other=None)
+    return out[[col, "count()"]].rename(columns={"count()": "n"}), heavy

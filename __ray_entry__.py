@@ -264,17 +264,28 @@ def _q_stats_minmax(sf_dir: str):
     from engine.pages import read_pages
 
     pages = read_pages(sf_dir, with_html=False)
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    nonnull = pages.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("url"))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    out = nonnull.groupby("lang").aggregate(
+    # NULL-safe group key (Ray's sort-based groupby cannot compare
+    # None): fillna('') + __isnull flag, restored after the aggregate
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("url")))
+        lang = t.column("lang")
+        return pa.table(
+            {
+                "lang": pc.fill_null(lang, ""),
+                "__isnull": pc.is_null(lang).cast(pa.int64()),
+                "url": t.column("url"),
+            }
+        )
+
+    nonnull = pages.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = nonnull.groupby(["lang", "__isnull"]).aggregate(
         Min("url", alias_name="url_min"), Max("url", alias_name="url_max"), Count(alias_name="n")
-    )
-    return out
+    ).to_pandas()
+    out["lang"] = out["lang"].where(out["__isnull"] == 0, other=None)
+    return out[["lang", "url_min", "url_max", "n"]]
 
 
 def _q_filter_nonempty(sf_dir: str):

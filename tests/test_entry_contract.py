@@ -59,31 +59,42 @@ QUALITY_PASS = (
 )
 
 ADVERSARIAL_DOCS = [
-    # (text, lang)
-    (None, "en"),
-    (None, "en"),                      # two NULLs: one SQL group
-    ("", "en"),                        # '' is a DIFFERENT group from NULL
-    ("=SUM(A1:A3)", "en"),
-    ("+plus prefix", "fr"),
-    ("\x0bw1\x1cw2\x1dw3\x1ew4\x1fw5", "fr"),   # Python-\s controls RE2 misses
-    ("    　", "de"),   # all-unicode-whitespace text
-    ("٠١٢", "de"),               # Arabic-Indic digits: \d vs \p{Nd}
-    ("  -42　", "de"),                      # strip -> integer pattern
-    ("3,14e+5", None),                          # NULL lang
-    (QUALITY_PASS, "en"),
-    (QUALITY_PASS.replace("filler", "stuffing"), "en"),  # near-dup pair
-    ("N/a", "es"),
-    ("https://example.com/path?q=1", "es"),
-    ("user.name+tag@example-host.co", "es"),
-    ("2024-01-02T03:04", "zh"),
-    ("12/31/1999", "zh"),
-    ("https://example.com/path?q=1", "zh"),     # exact dup of doc 14
-    ("¡Hola! ¿Qué tal? 北京 écran — dash…", "es"),
-    ("tab\tsep\nnl\rcr\fff\x0bvt", "en"),
-    ("mixed           spaces", "fr"),
+    # (doc_id, text, lang). doc_id drives the derived pages table too:
+    # %97==0 -> NULL url, %13==0 -> text forced '', %128 collisions ->
+    # duplicate urls for MERGE (engine/pages.py).
+    (1, None, "en"),
+    (2, None, "en"),                   # two NULLs: one SQL group
+    (3, "", "en"),                     # '' is a DIFFERENT group from NULL
+    (4, "=SUM(A1:A3)", "en"),
+    (5, "+plus prefix", "fr"),
+    (6, "\x0bw1\x1cw2\x1dw3\x1ew4\x1fw5", "fr"),  # Python-\s ctrls RE2 misses
+    (7, "\u00a0\u2028\u2029\u205f\u3000", "de"),   # all-unicode-whitespace text
+    (8, "\u0660\u0661\u0662", "de"),          # Arabic-Indic digits: \d vs \p{Nd}
+    (9, "  -42\u3000", "de"),                   # strip -> integer pattern
+    (10, "3,14e+5", None),                      # NULL lang
+    (11, QUALITY_PASS, "en"),
+    (12, QUALITY_PASS.replace("filler", "stuffing"), "en"),  # near-dup pair
+    (13, "N/a", "es"),                          # pages: text forced ''
+    (14, "https://example.com/path?q=1", "es"),
+    (15, "user.name+tag@example-host.co", "es"),
+    (16, "2024-01-02T03:04", "zh"),
+    (17, "12/31/1999", "zh"),
+    (18, "https://example.com/path?q=1", "zh"),  # exact dup of doc 14
+    (19, "\u00a1Hola! \u00bfQu\u00e9 tal? \u5317\u4eac \u00e9cran \u2014 dash\u2026", "es"),
+    (20, "tab\tsep\nnl\rcr\fff\x0bvt", "en"),
+    (21, "mixed\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200aspaces", "fr"),
+    # pages-path branches:
+    (0, "id zero hits every modulus", "en"),    # NULL url AND forced-'' text
+    (97, None, "en"),                           # NULL url, NULL text
+    (133, "later writer for url 5", "fr"),      # 133%128=5: LWW pair with doc 5
+    (66, "older writer for url 66", "zh"),
+    (194, None, "zh"),              # 194%128=66: later writer with NULL text ->
+                                    # non-empty coalesce must fall back to doc 66
+    (26, "twenty-six forced empty", "de"),      # %13==0: '' in pages, text in docs
 ]
 
-# documents-only queries with a hard SQL oracle
+# queries with a hard SQL oracle runnable off documents.parquet alone
+# (the pages-path ones derive pages from it on both sides)
 PARITY_QUERIES = [
     "token_stats",
     "quality_ratios",
@@ -99,17 +110,26 @@ PARITY_QUERIES = [
     "simhash_pairs",
     "lang_id",
     "fingerprint",
+    # pages-derived: MERGE LWW + coalesce on NULL/'' text and NULL urls,
+    # usable-row filter, per-lang minmax stats, maintained-table scans
+    "merge_lww",
+    "stream_upsert",
+    "filter_nonempty",
+    "stats_minmax",
+    "compact_scan",
+    "pruned_scan",
 ]
 
 
 @pytest.fixture(scope="module")
 def adversarial_sf(tmp_path_factory):
     root = tmp_path_factory.mktemp("advsf")
-    texts = [t for t, _ in ADVERSARIAL_DOCS]
-    langs = [lang for _, lang in ADVERSARIAL_DOCS]
+    ids = [i for i, _, _ in ADVERSARIAL_DOCS]
+    texts = [t for _, t, _ in ADVERSARIAL_DOCS]
+    langs = [lang for _, _, lang in ADVERSARIAL_DOCS]
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(langs, type=pa.string()),
             "source": pa.array(["fixture"] * len(texts), type=pa.string()),

@@ -28,6 +28,22 @@ def _tmp_root(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"graft-{tag}-")
 
 
+def _schema_stable(ds_or_df, **dtypes):
+    """Finalize a query whose result can be legitimately EMPTY: Ray
+    drops empty blocks, so an empty Dataset ``to_pandas()``s to ZERO
+    columns and the driver reads that as a schema mismatch against the
+    oracle (which always carries its columns). Converts to pandas (the
+    driver does anyway) and restores the declared columns when empty.
+    Results here are small by construction (pair lists, id filters at
+    driver sf); the scale path is the engine function, not queries()."""
+    import pandas as pd
+
+    df = ds_or_df if isinstance(ds_or_df, pd.DataFrame) else ds_or_df.to_pandas()
+    if df.empty and list(df.columns) != list(dtypes):
+        df = pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+    return df[list(dtypes)]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -178,7 +194,7 @@ def _q_embed_dup_pairs(sf_dir: str):
     # auto-routed (VERDICT r2 #5): sf-scale corpora sit far below the
     # broadcast limit, so the oracle exercises the exact broadcast path
     pairs, _path = embed_dup_pairs_auto(ds, threshold=0.35)
-    return pairs.select_columns(["id_a", "id_b"])
+    return _schema_stable(pairs.select_columns(["id_a", "id_b"]), id_a="int64", id_b="int64")
 
 
 def _q_token_stats(sf_dir: str):
@@ -454,7 +470,7 @@ def _q_quality_filter(sf_dir: str):
         keep = (df.n_tokens >= 20) & (df.alpha_ratio >= 0.7) & (df.stop_ratio >= 0.02)
         return df.loc[keep, ["doc_id"]]
 
-    return scored.map_batches(gate, batch_format="pandas")
+    return _schema_stable(scored.map_batches(gate, batch_format="pandas"), doc_id="int64")
 
 
 def _q_pruned_scan(sf_dir: str):
@@ -475,11 +491,12 @@ def _q_pruned_scan(sf_dir: str):
     pruned = t.scan(
         columns=["url", "text", "lang"], predicate_stats={"lang": ("zh", "zh")}
     )
-    return pruned.map_batches(
+    out = pruned.map_batches(
         lambda b: b.filter(pc.equal(b.column("lang"), "zh")),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    return _schema_stable(out, url="object", text="object", lang="object")
 
 
 # --- rows-only (non-SQL-expressible) --------------------------------------
@@ -505,7 +522,10 @@ def _q_minhash_pairs(sf_dir: str):
         df = df.assign(jaccard_pct=np.floor(100.0 * df["jaccard"]).astype("int64"))
         return df[["id_a", "id_b", "jaccard_pct"]]
 
-    return pairs.map_batches(pct, batch_format="pandas")
+    return _schema_stable(
+        pairs.map_batches(pct, batch_format="pandas"),
+        id_a="int64", id_b="int64", jaccard_pct="int64",
+    )
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -518,7 +538,10 @@ def _q_simhash_pairs(sf_dir: str):
     from engine.dedup import simhash_dup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dup_pairs(ds, max_hamming=8, hasher="md5")
+    return _schema_stable(
+        simhash_dup_pairs(ds, max_hamming=8, hasher="md5"),
+        id_a="int64", id_b="int64", hamming="int64",
+    )
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -562,9 +585,10 @@ def _q_lsh_embed_pairs(sf_dir: str):
     from engine.similarity import lsh_bucketed_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_bucketed_pairs(ds, threshold=0.35, num_bits=6, planes="axes").select_columns(
+    out = lsh_bucketed_pairs(ds, threshold=0.35, num_bits=6, planes="axes").select_columns(
         ["id_a", "id_b"]
     )
+    return _schema_stable(out, id_a="int64", id_b="int64")
 
 
 def _q_lang_id(sf_dir: str):

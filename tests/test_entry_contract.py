@@ -121,12 +121,7 @@ PARITY_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def adversarial_sf(tmp_path_factory):
-    root = tmp_path_factory.mktemp("advsf")
-    ids = [i for i, _, _ in ADVERSARIAL_DOCS]
-    texts = [t for _, t, _ in ADVERSARIAL_DOCS]
-    langs = [lang for _, _, lang in ADVERSARIAL_DOCS]
+def _write_documents(root, ids, texts, langs):
     tbl = pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -140,6 +135,65 @@ def adversarial_sf(tmp_path_factory):
     )
     pq.write_table(tbl, str(root / "documents.parquet"))
     return str(root)
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("advsf")
+    ids = [i for i, _, _ in ADVERSARIAL_DOCS]
+    texts = [t for _, t, _ in ADVERSARIAL_DOCS]
+    langs = [lang for _, _, lang in ADVERSARIAL_DOCS]
+    return _write_documents(root, ids, texts, langs)
+
+
+# codepoint pools for the seeded fuzz corpus (surrogates and NUL excluded)
+_POOLS = [
+    [chr(c) for c in range(0x20, 0x7F)],                       # ascii
+    [chr(c) for c in range(0x01, 0x20)],                       # C0 controls
+    [chr(c) for c in list(range(0xA0, 0x100)) + [0x85]],       # latin-1 + NEL
+    [chr(c) for c in range(0x4E00, 0x4E80)],                   # CJK
+    [chr(c) for c in range(0x0600, 0x0670)],                   # Arabic (+digits)
+    [chr(c) for c in range(0x2000, 0x2030)],                   # unicode spaces/punct
+    [chr(c) for c in range(0x0300, 0x0330)],                   # combining marks
+    [chr(c) for c in range(0x1F300, 0x1F360)],                 # astral emoji
+    list(" \t\n\r\f\x0b\u00a0\u3000\u2028\u2029"),         # whitespace soup
+]
+
+
+def _fuzz_text(rng) -> str:
+    pool = _POOLS[rng.integers(0, len(_POOLS))]
+    n = int(rng.integers(0, 120))
+    chars = [pool[i] for i in rng.integers(0, len(pool), n)]
+    # sprinkle ascii spaces so tokenizers see word boundaries
+    for j in range(0, n, 7):
+        chars[j : j + 1] = [" "]
+    return "".join(chars)
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf(tmp_path_factory):
+    """120 seeded random-unicode docs: mixed scripts, controls, astral,
+    combining marks, whitespace soup, NULLs, empties, planted near-dups.
+    doc_ids 0..119 naturally hit the pages %97 / %13 / %128 branches."""
+    rng = np.random.default_rng(20260819)
+    n = 120
+    texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.05:
+            texts.append(None)
+        elif r < 0.10:
+            texts.append("")
+        else:
+            texts.append(_fuzz_text(rng))
+    # planted exact + near duplicates
+    texts[100] = texts[40]
+    if texts[41]:
+        texts[101] = texts[41] + " x"
+    lang_pool = ["en", "zh", "es", "de", "fr", None]
+    langs = [lang_pool[i] for i in rng.integers(0, len(lang_pool), n)]
+    root = tmp_path_factory.mktemp("fuzzsf")
+    return _write_documents(root, list(range(n)), texts, langs)
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -163,6 +217,28 @@ def test_adversarial_parity(adversarial_sf, name):
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{adversarial_sf}/documents.parquet')"
+    )
+    want = con.execute(sql).fetchdf()
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs oracle {len(w)}"
+    pd.testing.assert_frame_equal(
+        g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
+    )
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_fuzz_parity(fuzz_sf, name):
+    """Same parity sweep over the seeded random-unicode corpus."""
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(fuzz_sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_sf}/documents.parquet')"
     )
     want = con.execute(sql).fetchdf()
     g, w = _normalize(got), _normalize(want)

@@ -988,10 +988,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        # NULL-ts events are explicitly unmatched: the engine applies
+        # SQL predicate semantics (NULL >= x is never true), while
+        # DuckDB's sort-based ASOF orders NULL last and would match it
+        # to the key's LATEST order -- the CASE pins the declared
+        # semantics so the oracle doesn't inherit that quirk.
         "asof_join": (
             "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
             "FROM orders GROUP BY 1, 2) "
-            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "SELECT e.event_id, "
+            "CASE WHEN e.ts IS NULL THEN NULL ELSE o.o_orderkey END AS o_orderkey "
+            "FROM events e "
             "ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "range_join": (

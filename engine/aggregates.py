@@ -90,19 +90,43 @@ def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
 def grouped_sum_count(ds, key: str, value_col: str):
     """Pre-aggregated grouped sum+count: per-batch pandas groupby emits
     one partial row per key per batch; the exchange then moves partials
-    only (combiner before shuffle, SURVEY 4.2)."""
+    only (combiner before shuffle, SURVEY 4.2).
+
+    SQL semantics throughout: NULL keys form ONE group (pandas groupby
+    silently drops them and Ray's sort can't compare None, hence the
+    fillna('')+__isnull composite); ``n`` is ``count(*)`` (rows, not
+    non-null values); ``sum`` skips NULL values but is NULL -- not 0 --
+    for an all-NULL group."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key, as_index=False)[value_col].agg(["sum", "count"])
-        g.columns = [key, "__psum", "__pcount"]
+        s = df[key]
+        # dtype-aware null fill: ""/0/epoch so the composite stays
+        # single-typed (a mixed object column would crash the Ray sort)
+        if s.dtype.kind in "mM":
+            fill = pd.Timestamp(0, tz=getattr(s.dtype, "tz", None))
+        elif s.dtype == object:
+            fill = ""
+        else:
+            fill = 0
+        comp = pd.DataFrame(
+            {key: s.fillna(fill), "__isnull": s.isna().astype("int64"), "__v": df[value_col]}
+        )
+        g = comp.groupby([key, "__isnull"], as_index=False, sort=False).agg(
+            __psum=("__v", "sum"), __pn=("__v", "size"), __pnn=("__v", "count")
+        )
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    out = (
-        partials.groupby(key)
-        .sum(["__psum", "__pcount"])
+    agg = (
+        partials.groupby([key, "__isnull"])
+        .sum(["__psum", "__pn", "__pnn"])
         .to_pandas()
-        .rename(columns={"sum(__psum)": "sum_value", "sum(__pcount)": "n"})
     )
-    out["n"] = out["n"].astype("int64")
+    out = pd.DataFrame(
+        {
+            key: agg[key].where(agg["__isnull"] == 0, other=None),
+            "sum_value": agg["sum(__psum)"].where(agg["sum(__pnn)"] > 0, other=np.nan),
+            "n": agg["sum(__pn)"].astype("int64"),
+        }
+    )
     return out

@@ -132,8 +132,29 @@ def hash64_keys(keys) -> np.ndarray:
         keys = pa.Array.from_pandas(keys)
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+    t = keys.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
         return hash64_strings(keys)
+    # integer / temporal / float keys hash their canonical 64-bit value
+    # pattern (vectorized mix64) -- NOT the pandas object hash, which is
+    # NULL-SENSITIVE: an int64 batch containing any null converts to
+    # float64 objects (1 hashes as 1.0) while a null-free batch of the
+    # same key hashes the int, silently splitting one key across buckets
+    # between the two sides of a join (caught by the adversarial asof
+    # fixture in tests/test_entry_contract.py).
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_boolean(t)
+    ):
+        v = pc.fill_null(keys.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        return _mix64(v.astype(np.int64).view(np.uint64))
+    if pa.types.is_floating(t):
+        v = pc.fill_null(keys.cast(pa.float64()), 0.0).to_numpy(zero_copy_only=False)
+        v = np.where(v == 0.0, 0.0, v)  # -0.0 == 0.0 must hash equal
+        return _mix64(v.view(np.uint64))
     return pd.util.hash_array(keys.to_pandas().to_numpy(dtype=object), categorize=False)
 
 

@@ -116,7 +116,14 @@ def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds:
     width_us = int(width_seconds * 1_000_000)
 
     def win(t: pa.Table) -> pa.Table:
-        tt = t.column(ts).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        col = t.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        # NULL ts -> NULL window label (SQL: time_bucket(NULL) is NULL,
+        # one group); fill-then-mask keeps the int64 floor arithmetic
+        # exact (a numpy conversion with nulls floats the whole column)
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        tt = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
         # window start computed in MICROseconds (exact for fractional
         # widths -- an integer-seconds shortcut collapses sub-second
         # windows to 0), then labeled in epoch seconds when the width is
@@ -127,12 +134,10 @@ def tumbling_window_agg(ds, ts: str = "ts", value: str = "value", width_seconds:
             label = start_us // 1_000_000
         else:
             label = start_us
-        return pa.table(
-            {
-                "window_start": pa.array(label, type=pa.int64()),
-                value: t.column(value),
-            }
-        )
+        arr = pa.array(label, type=pa.int64())
+        if isnull.any():
+            arr = pc.if_else(pa.array(isnull), pa.scalar(None, pa.int64()), arr)
+        return pa.table({"window_start": arr, value: t.column(value)})
 
     from engine.aggregates import grouped_sum_count
 

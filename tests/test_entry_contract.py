@@ -257,3 +257,121 @@ def test_exact_dedup_null_vs_empty_are_distinct_groups(adversarial_sf):
     empties = got[got.text == ""]
     assert len(nulls) == 1 and int(nulls.doc_id.iloc[0]) == 1
     assert len(empties) == 1 and int(empties.doc_id.iloc[0]) == 3
+
+
+# ---------------------------------------------------------------------------
+# events-path adversarial parity
+# ---------------------------------------------------------------------------
+
+EVENTS_QUERIES = [
+    "events_by_type",
+    "broadcast_join",
+    "range_join",
+    "asof_join",
+    "sessions_per_user",
+    "tumbling_hourly",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_sf(tmp_path_factory):
+    """events/orders/customer with NULL ts/user_id/value/event_type,
+    range-boundary values, tied and boundary timestamps, users without
+    orders, and duplicate (custkey, orderdate) pairs."""
+    root = tmp_path_factory.mktemp("advevents")
+    T = pd.Timestamp
+    H = pd.Timedelta(hours=1)
+    base = T("2026-03-01 00:00:00")
+    ev = [
+        # event_id, ts, user_id, event_type, value
+        (1, base, 1, "click", 5.0),
+        (2, base + H, 1, "click", 10.0),            # range boundary lo
+        (3, base + 2 * H, 1, "view", 100.0),        # range boundary mid/hi
+        (4, base + 2 * H, 1, "view", 99.999),       # tied ts within user
+        (5, None, 1, "view", 7.0),                  # NULL ts
+        (6, base, 2, "buy", -3.0),                  # below all ranges
+        (7, base + pd.Timedelta(minutes=29), 2, "buy", 1e9),   # above all ranges
+        (8, base + pd.Timedelta(minutes=60), 2, "buy", None),  # NULL value
+        (9, base + 3 * H, None, "click", 2.0),      # NULL user_id
+        (10, base + 4 * H, None, "click", 4.0),     # NULL user_id again
+        (11, None, None, None, None),               # everything NULL
+        (12, base + 5 * H, 3, None, 8.0),           # NULL event_type
+        (13, base + 5 * H + pd.Timedelta(seconds=1), 3, "view", 0.0),
+        (14, base + 6 * H, 4, "click", 50.0),       # user 4: no orders
+        (15, base + 7 * H, 5, "view", 12.5),        # user 5: order at same ts
+        (16, base + 8 * H, 9, "click", 1.0),        # user 9: not in customer
+    ]
+    events = pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    events["props"] = "{}"
+    events = events.astype({"event_id": "int64", "user_id": "Int64", "value": "float64"})
+    ev_tbl = pa.table(
+        {
+            "event_id": pa.array(events.event_id, type=pa.int64()),
+            "ts": pa.Array.from_pandas(events.ts, type=pa.timestamp("us")),
+            "user_id": pa.Array.from_pandas(events.user_id, type=pa.int64()),
+            "event_type": pa.array(events.event_type, type=pa.string()),
+            "value": pa.Array.from_pandas(events.value, type=pa.float64()),
+            "props": pa.array(events.props, type=pa.string()),
+        }
+    )
+    pq.write_table(ev_tbl, str(root / "events.parquet"))
+
+    od = [
+        # o_orderkey, o_custkey, o_orderdate
+        (100, 1, base - H),
+        (101, 1, base + H),                # exactly at event 2's ts (>= matches)
+        (102, 1, base + H),                # duplicate (custkey, date): max key wins
+        (103, 2, base + 10 * H),           # after all of user 2's events
+        (104, 3, base),
+        (105, 5, base + 7 * H),            # exactly at event 15's ts
+        (106, 7, base),                    # customer with no events
+    ]
+    orders = pd.DataFrame(od, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders["o_orderstatus"] = "O"
+    orders["o_totalprice"] = 1.0
+    orders["o_orderpriority"] = "1-URGENT"
+    o_tbl = pa.table(
+        {
+            "o_orderkey": pa.array(orders.o_orderkey, type=pa.int64()),
+            "o_custkey": pa.array(orders.o_custkey, type=pa.int64()),
+            "o_orderstatus": pa.array(orders.o_orderstatus, type=pa.string()),
+            "o_totalprice": pa.array(orders.o_totalprice, type=pa.float64()),
+            "o_orderdate": pa.Array.from_pandas(orders.o_orderdate, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(orders.o_orderpriority, type=pa.string()),
+        }
+    )
+    pq.write_table(o_tbl, str(root / "orders.parquet"))
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": pd.array([1, 2, 3, 4, 5, 7], dtype="int64"),
+            "c_name": [f"c{i}" for i in [1, 2, 3, 4, 5, 7]],
+            "c_nationkey": pd.array([0, 1, 2, 0, 1, 2], dtype="int32"),
+            "c_acctbal": [0.0] * 6,
+            "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), str(root / "customer.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_adversarial_events_parity(adversarial_events_sf, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(adversarial_events_sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ["events", "orders", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_events_sf}/{t}.parquet')"
+        )
+    want = con.execute(sql).fetchdf()
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs oracle {len(w)}"
+    pd.testing.assert_frame_equal(
+        g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
+    )

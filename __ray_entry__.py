@@ -170,9 +170,16 @@ def _load_queries_emb(sf_dir: str, n_q: int = 8):
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    # similarity-input contract: NULL / zero-norm embeddings excluded
+    # (mirrored by the WHERE in every embedding oracle)
+    vecs = t.column("embedding").to_pylist()
+    ok = np.array(
+        [v is not None and float(np.dot(v, v)) > 0.0 for v in vecs], dtype=bool
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[ok]
+    vecs = [v for v, k in zip(vecs, ok) if k]
     take = np.argsort(ids)[:n_q]
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").take(take).to_pylist()])
+    q = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in take])
     return q, ids[take]
 
 
@@ -182,18 +189,20 @@ def _q_ann_topk(sf_dir: str):
 
     q, qids = _load_queries_emb(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = cosine_topk(ds, q, qids, k=5)
+    from engine.similarity import filter_valid_vectors
+
+    out = cosine_topk(filter_valid_vectors(ds), q, qids, k=5)
     return out.select_columns(["query_id", "vec_id"])
 
 
 def _q_embed_dup_pairs(sf_dir: str):
     import ray.data
-    from engine.similarity import embed_dup_pairs_auto
+    from engine.similarity import embed_dup_pairs_auto, filter_valid_vectors
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # auto-routed (VERDICT r2 #5): sf-scale corpora sit far below the
     # broadcast limit, so the oracle exercises the exact broadcast path
-    pairs, _path = embed_dup_pairs_auto(ds, threshold=0.35)
+    pairs, _path = embed_dup_pairs_auto(filter_valid_vectors(ds), threshold=0.35)
     return _schema_stable(pairs.select_columns(["id_a", "id_b"]), id_a="int64", id_b="int64")
 
 
@@ -562,11 +571,13 @@ def _q_ivf_topk(sf_dir: str):
     import ray.data
     from engine.similarity import build_ivf_index, ivf_topk_indexed
 
+    from engine.similarity import filter_valid_vectors
+
     q, qids = _load_queries_emb(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     root = f"/tmp/ivf-index-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
-    table, _ = build_ivf_index(ds, root, n_centroids=16, rows_per_file=1024)
+    table, _ = build_ivf_index(filter_valid_vectors(ds), root, n_centroids=16, rows_per_file=1024)
     return ivf_topk_indexed(table, q, qids, k=5, nprobe=16).select_columns(
         ["query_id", "vec_id"]
     )
@@ -582,12 +593,12 @@ def _q_lsh_embed_pairs(sf_dir: str):
     Random-plane recall behavior stays covered by the planted-pair unit
     tests."""
     import ray.data
-    from engine.similarity import lsh_bucketed_pairs
+    from engine.similarity import filter_valid_vectors, lsh_bucketed_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = lsh_bucketed_pairs(ds, threshold=0.35, num_bits=6, planes="axes").select_columns(
-        ["id_a", "id_b"]
-    )
+    out = lsh_bucketed_pairs(
+        filter_valid_vectors(ds), threshold=0.35, num_bits=6, planes="axes"
+    ).select_columns(["id_a", "id_b"])
     return _schema_stable(out, id_a="int64", id_b="int64")
 
 
@@ -781,15 +792,25 @@ def oracle_sql() -> dict[str, str]:
         for p in TYPE_PATTERNS
     )
 
-    ann = """
-        WITH q AS (
+    # similarity-input contract (mirrored by filter_valid_vectors in
+    # the engine): NULL and zero-norm embeddings are excluded -- cosine
+    # is undefined for them and conventions differ (DuckDB returns -1.0
+    # for a zero vector; numpy 0/0 is NaN)
+    emb_valid = (
+        "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL "
+        "AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+    )
+
+    ann = f"""
+        WITH ev AS ({emb_valid}),
+        q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings ORDER BY vec_id LIMIT 8
+          FROM ev ORDER BY vec_id LIMIT 8
         ),
         sims AS (
           SELECT q.query_id, e.vec_id,
                  list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
-          FROM embeddings e CROSS JOIN q
+          FROM ev e CROSS JOIN q
           WHERE e.vec_id <> q.query_id
         ),
         ranked AS (
@@ -800,9 +821,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id FROM ranked WHERE rn <= 5
         """
 
-    embed_pairs = """
+    embed_pairs = f"""
+        WITH ev AS ({emb_valid})
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """
 
@@ -815,7 +837,7 @@ def oracle_sql() -> dict[str, str]:
     )
     lsh_pairs = f"""
         WITH sig AS (
-          SELECT vec_id, embedding, {lsh_sig} AS sig FROM embeddings
+          SELECT vec_id, embedding, {lsh_sig} AS sig FROM ({emb_valid})
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id

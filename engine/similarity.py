@@ -25,13 +25,44 @@ import ray
 def _stack(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix; empty -> (0, 0)
     (callers early-return on empty batches -- empty parquet files or
-    filtered-out blocks must contribute zero partials, not crash)."""
+    filtered-out blocks must contribute zero partials, not crash).
+
+    RAISES on NULL entries: ``flatten()`` silently DROPS null lists, so
+    a reshape would mis-align every vector after the null -- data
+    corruption, not an edge case. Route inputs through
+    :func:`filter_valid_vectors` first."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
         return np.zeros((0, 0))
+    if arr.null_count:
+        raise ValueError(
+            "embedding column contains NULL entries; they are undefined for "
+            "similarity ops and would mis-align the stacked matrix. Apply "
+            "filter_valid_vectors (or drop nulls) before this stage."
+        )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
+
+
+def filter_valid_vectors(ds, vec_col: str = "embedding"):
+    """The engine's similarity-input contract: NULL and zero-norm
+    vectors are EXCLUDED from both corpus and queries. Cosine is
+    undefined for them, and conventions differ by system (DuckDB's
+    list_cosine_similarity returns -1.0 for a zero vector; numpy 0/0
+    is NaN) -- excluding them is the only convention both the engine
+    and the SQL oracles can state exactly. One vectorized pass."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.is_valid(t.column(vec_col)))
+        if len(t) == 0:
+            return t
+        m = _stack(t.column(vec_col))
+        return t.filter(pa.array((m * m).sum(axis=1) > 0.0))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _empty_result(id_col: str) -> pa.Table:
@@ -48,6 +79,52 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _score_matmul(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """``x (n,d) @ q (m,d).T`` with a FIXED summation order over d.
+
+    BLAS picks its reduction order by matrix shape AND row position
+    (micro-kernel tiling), so the same vector scored in two different
+    blocks can come back 1 ulp apart -- the per-block partial top-k
+    then breaks EXACT ties inconsistently across blocks (a scaled copy
+    of a vector outranked the original; caught by the adversarial
+    embeddings fixture). Sequential rank-1 accumulation makes every
+    row's score a pure function of the row. ~20x slower than dgemm, so
+    it is applied only to BOUNDARY candidates (see _topk_rows), never
+    to the bulk."""
+    n, d = x.shape
+    m = q.shape[0]
+    s = np.zeros((n, m))
+    for k in range(d):
+        s += x[:, k : k + 1] * q[None, :, k]
+    return s
+
+
+#: scores closer than this to the k-th best are re-scored with the
+#: fixed-order kernel: generous vs ulp noise (~1e-15 on unit cosines),
+#: negligible vs any real score gap -- the band holds ~k rows on
+#: generic data and every member of an exact-tie cluster
+_TOPK_RESCORE_BAND = 1e-9
+
+
+def _topk_rows(scores: np.ndarray, ids: np.ndarray, x: np.ndarray, qj: np.ndarray, k: int):
+    """Top-k row indices + DETERMINISTIC scores for one query.
+
+    ``scores`` is the fast dgemm pass (any ulp wobble allowed). Every
+    row within _TOPK_RESCORE_BAND of the k-th best is re-scored with
+    :func:`_score_matmul` so equal vectors get equal stored scores
+    regardless of block shape, then (score desc, id asc) picks the k.
+    Returns (row_indices, deterministic_scores)."""
+    n = len(scores)
+    kk = min(k, n)
+    if kk == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    kth = np.partition(scores, n - kk)[n - kk]
+    cand = np.flatnonzero(scores >= kth - _TOPK_RESCORE_BAND)
+    det = _score_matmul(x[cand], qj.reshape(1, -1))[:, 0]
+    order = np.lexsort((ids[cand], -det))[:kk]
+    return cand[order], det[order]
 
 
 def cosine_topk(
@@ -79,8 +156,7 @@ def cosine_topk(
         qm, qi = ray.get(qref)
         x = _normalize(_stack(t.column(vec_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        s = x @ qm.T  # (n, q)
-        kk = min(k, s.shape[0])
+        s = x @ qm.T  # (n, q) -- fast bulk pass; boundary rescored below
         out_q, out_id, out_s = [], [], []
         for j in range(qm.shape[0]):
             col = s[:, j]
@@ -93,11 +169,14 @@ def cosine_topk(
                 continue
             # tie-break bitwise-equal scores by id, not input position:
             # the driver oracle orders by (score DESC, vec_id) and the
-            # [:kk] truncation must agree with it at the rank-k boundary
-            top = cand[np.lexsort((ids[cand], -col[cand]))[:kk]]
+            # truncation must agree with it at the rank-k boundary;
+            # _topk_rows re-scores the boundary band deterministically
+            # so equal vectors carry equal scores into the final reduce
+            rows, det = _topk_rows(col[cand], ids[cand], x[cand], qm[j], k)
+            top = cand[rows]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
-            out_s.append(col[top])
+            out_s.append(det)
         if not out_q:
             return _empty_partial()
         return pa.table(
@@ -301,11 +380,14 @@ def ivf_topk(
             if not len(cand):
                 continue
             scores = x[cand] @ qm[j]
-            # id tie-break at the truncation boundary (see cosine_topk)
-            top = cand[np.lexsort((ids[cand], -scores))[:k]]
+            # id tie-break at the truncation boundary (see cosine_topk);
+            # _topk_rows re-scores the boundary band with the fixed-order
+            # kernel so equal vectors carry equal scores across blocks
+            rows, det = _topk_rows(scores, ids[cand], x[cand], qm[j], k)
+            top = cand[rows]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
-            out_s.append(x[top] @ qm[j])
+            out_s.append(det)
         if not out_q:
             return _empty_result(id_col)
         return pa.table(
@@ -438,11 +520,14 @@ def ivf_topk_indexed(
             if not len(cand):
                 continue
             scores = x[cand] @ qm[j]
-            # id tie-break at the truncation boundary (see cosine_topk)
-            top = cand[np.lexsort((ids[cand], -scores))[:k]]
+            # id tie-break at the truncation boundary (see cosine_topk);
+            # _topk_rows re-scores the boundary band with the fixed-order
+            # kernel so equal vectors carry equal scores across blocks
+            rows, det = _topk_rows(scores, ids[cand], x[cand], qm[j], k)
+            top = cand[rows]
             out_q.append(np.full(len(top), qi[j]))
             out_id.append(ids[top])
-            out_s.append(x[top] @ qm[j])
+            out_s.append(det)
         if not out_q:
             return _empty_result(id_col)
         return pa.table(

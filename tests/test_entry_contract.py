@@ -375,3 +375,60 @@ def test_adversarial_events_parity(adversarial_events_sf, name):
     pd.testing.assert_frame_equal(
         g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings-path adversarial parity
+# ---------------------------------------------------------------------------
+
+EMB_QUERIES = ["ann_topk", "ivf_topk", "embed_dup_pairs", "lsh_embed_pairs"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_sf(tmp_path_factory):
+    """Embeddings with a zero vector, a NULL embedding, an exact
+    duplicate, a scaled copy (exact cosine TIES to every query -- the
+    tie-break path), and a negated vector. Stored as list<float32> like
+    the driver tables (both sides widen float32->float64 identically)."""
+    rng = np.random.default_rng(7)
+    dim, n = 8, 20
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[10] = vecs[9]           # exact duplicate (cos = 1)
+    vecs[11] = 2.0 * vecs[9]     # scaled copy: ties 9/10/11 for every query
+    vecs[12] = -vecs[9]          # cos = -1
+    rows = [v for v in vecs] + [np.zeros(dim, np.float32), None]
+    ids = list(range(n)) + [50, 51]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [None if v is None else v.tolist() for v in rows],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), type=pa.int32()),
+        }
+    )
+    root = tmp_path_factory.mktemp("advemb")
+    pq.write_table(tbl, str(root / "embeddings.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_emb_parity(adversarial_emb_sf, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(adversarial_emb_sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_emb_sf}/embeddings.parquet')"
+    )
+    want = con.execute(sql).fetchdf()
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs oracle {len(w)}"
+    pd.testing.assert_frame_equal(
+        g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
+    )

@@ -1072,11 +1072,13 @@ def oracle_sql() -> dict[str, str]:
         # so tag-strip + ws-collapse + trim is exactly mirrorable; the
         # corpus is ASCII with no entities (checked), so Python
         # html.unescape and unicode \s are identities here
+        # ws-collapse with the Python \s class (engine collapses \s+,
+        # RE2's own \s is ASCII-only) and trim over the CPython strip set
         "html_extract": (
             PAGES_CTE
             + "SELECT url, trim(regexp_replace(regexp_replace("
             "'<html><body>' || coalesce(text, '') || '</body></html>', "
-            "'<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS extracted_text, "
+            f"'<[^>]+>', ' ', 'g'), '[{pys}]+', ' ', 'g'), '{ws}') AS extracted_text, "
             "CAST(NULL AS VARCHAR) AS decode_error FROM pages"
         ),
         # full SQL re-derivation of rolling-hash winnowing (Schleimer et

@@ -118,6 +118,7 @@ PARITY_QUERIES = [
     "stats_minmax",
     "compact_scan",
     "pruned_scan",
+    "html_extract",
 ]
 
 

@@ -174,10 +174,13 @@ def _load_queries_emb(sf_dir: str, n_q: int = 8):
     # (mirrored by the WHERE in every embedding oracle)
     vecs = t.column("embedding").to_pylist()
     ok = np.array(
-        [v is not None and float(np.dot(v, v)) > 0.0 for v in vecs], dtype=bool
+        [v is not None and len(v) > 0 and float(np.dot(v, v)) > 0.0 for v in vecs],
+        dtype=bool,
     )
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)[ok]
     vecs = [v for v, k in zip(vecs, ok) if k]
+    if not vecs:  # all-invalid corpus: empty query set, not a crash
+        return np.zeros((0, 0)), np.array([], dtype=np.int64)
     take = np.argsort(ids)[:n_q]
     q = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in take])
     return q, ids[take]
@@ -293,23 +296,21 @@ def _q_stats_minmax(sf_dir: str):
     import pyarrow.compute as pc
 
     # NULL-safe group key (Ray's sort-based groupby cannot compare
-    # None): fillna('') + __isnull flag, restored after the aggregate
+    # None): the shared null_safe_key composite, restored afterwards
+    from engine.aggregates import null_safe_key, restore_null_key
+
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("url")))
-        lang = t.column("lang")
-        return pa.table(
-            {
-                "lang": pc.fill_null(lang, ""),
-                "__isnull": pc.is_null(lang).cast(pa.int64()),
-                "url": t.column("url"),
-            }
-        )
+        filled, isnull = null_safe_key(t.column("lang"))
+        return pa.table({"lang": filled, "__isnull": isnull, "url": t.column("url")})
 
     nonnull = pages.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     out = nonnull.groupby(["lang", "__isnull"]).aggregate(
         Min("url", alias_name="url_min"), Max("url", alias_name="url_max"), Count(alias_name="n")
     ).to_pandas()
-    out["lang"] = out["lang"].where(out["__isnull"] == 0, other=None)
+    if "lang" not in out.columns:  # empty input: Ray drops empty blocks
+        return _schema_stable(out, lang="object", url_min="object", url_max="object", n="int64")
+    out = restore_null_key(out, "lang")
     return out[["lang", "url_min", "url_max", "n"]]
 
 

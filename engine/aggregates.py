@@ -59,74 +59,94 @@ def ratio_distributed(partials_ds, num_col: str, den_col: str) -> float:
     return float(parts[num_col].sum() / den) if den else 0.0
 
 
+def null_safe_key(arr):
+    """The ONE null-safe composite-key encode shared by every grouped
+    aggregate (group_count_null_safe, grouped_sum_count,
+    skew.salted_group_count, the stats_minmax query): Ray's sort-based
+    groupby cannot compare ``None``, so NULL keys are encoded as
+    ``(type-zero fill, __isnull=1)`` -- collision-free (a genuine
+    ""/0/epoch key has ``__isnull=0``) and single-typed. Arrow-side on
+    purpose: a pandas ``fillna`` path floats int64 keys in any
+    null-bearing batch, silently rounding values beyond 2^53 and
+    splitting one key into two groups (e.g. microsecond window labels).
+    Returns ``(filled_key_array, isnull_int64_array)``."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    kt = arr.type
+    if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+        fill = pa.scalar("", type=kt)
+    elif pa.types.is_binary(kt) or pa.types.is_large_binary(kt):
+        fill = pa.scalar(b"", type=kt)
+    else:
+        fill = pa.scalar(0, type=kt)  # int / float / timestamp / duration
+    return pc.fill_null(arr, fill), pc.is_null(arr).cast(pa.int64())
+
+
+def restore_null_key(agg: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Invert :func:`null_safe_key` on a (tiny) final frame: rows with
+    ``__isnull == 1`` get their key set back to None. When a NULL group
+    exists the key column goes through object dtype, NOT float -- a
+    float round-trip would corrupt int64 keys beyond 2^53."""
+    if (agg["__isnull"] != 0).any():
+        agg[col] = agg[col].astype(object).where(agg["__isnull"] == 0, other=None)
+    return agg.drop(columns="__isnull")
+
+
 def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
-    """Grouped count that tolerates NULL keys. Ray's sort-based groupby
-    cannot compare ``None`` with a string (``'<' not supported``), so a
-    NULL-keyed corpus crashes ``ds.groupby(col).count()`` outright. Here
-    each batch pre-aggregates onto the composite ``(fillna(''), __isnull)``
-    key -- collision-free (a true ``''`` has ``__isnull=0``) and
-    NULL-free, so the distributed final groupby works -- then NULL is
-    restored on the (tiny) result. Rows shuffled = O(keys x batches),
-    the combiner pattern, not O(rows). SQL semantics: NULL is one group
-    (matches ``GROUP BY col``)."""
+    """Grouped ``count(*)`` tolerating NULL keys (SQL semantics: NULL is
+    one group). Arrow pre-aggregation per batch (combiner: rows shuffled
+    = O(keys x batches)), distributed final groupby on the null-free
+    composite, NULL restored on the result."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[col]
-        comp = pd.DataFrame({col: s.fillna(""), "__isnull": s.isna().astype("int64")})
-        g = comp.groupby([col, "__isnull"], as_index=False, sort=False).size()
-        return g.rename(columns={"size": "__pn"})
+    def partial(t: pa.Table) -> pa.Table:
+        filled, isnull = null_safe_key(t.column(col))
+        comp = pa.table({col: filled, "__isnull": isnull})
+        return comp.group_by([col, "__isnull"]).aggregate([([], "count_all")])
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    agg = parts.groupby([col, "__isnull"]).sum("__pn").to_pandas()
-    out = pd.DataFrame(
-        {
-            col: agg[col].where(agg["__isnull"] == 0, other=None),
-            out_col: agg["sum(__pn)"].astype("int64"),
-        }
-    )
-    return out
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby([col, "__isnull"]).sum("count_all").to_pandas()
+    if col not in agg.columns:  # empty input: Ray drops empty blocks
+        return pd.DataFrame({col: pd.Series(dtype=object), out_col: pd.Series(dtype="int64")})
+    agg = restore_null_key(agg, col)
+    return pd.DataFrame({col: agg[col], out_col: agg["sum(count_all)"].astype("int64")})
 
 
 def grouped_sum_count(ds, key: str, value_col: str):
-    """Pre-aggregated grouped sum+count: per-batch pandas groupby emits
+    """Pre-aggregated grouped sum+count: per-batch Arrow group_by emits
     one partial row per key per batch; the exchange then moves partials
     only (combiner before shuffle, SURVEY 4.2).
 
-    SQL semantics throughout: NULL keys form ONE group (pandas groupby
-    silently drops them and Ray's sort can't compare None, hence the
-    fillna('')+__isnull composite); ``n`` is ``count(*)`` (rows, not
-    non-null values); ``sum`` skips NULL values but is NULL -- not 0 --
-    for an all-NULL group."""
+    SQL semantics throughout: NULL keys form ONE group (null_safe_key
+    composite); ``n`` is ``count(*)`` (rows, not non-null values);
+    ``sum`` skips NULL values, is NULL -- not 0 -- for an all-NULL
+    group, and propagates NaN (a NaN is a value, like SQL)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[key]
-        # dtype-aware null fill: ""/0/epoch so the composite stays
-        # single-typed (a mixed object column would crash the Ray sort)
-        if s.dtype.kind in "mM":
-            fill = pd.Timestamp(0, tz=getattr(s.dtype, "tz", None))
-        elif s.dtype == object:
-            fill = ""
-        else:
-            fill = 0
-        comp = pd.DataFrame(
-            {key: s.fillna(fill), "__isnull": s.isna().astype("int64"), "__v": df[value_col]}
+    def partial(t: pa.Table) -> pa.Table:
+        filled, isnull = null_safe_key(t.column(key))
+        comp = pa.table({key: filled, "__isnull": isnull, "__v": t.column(value_col)})
+        return comp.group_by([key, "__isnull"]).aggregate(
+            [("__v", "sum"), ("__v", "count"), ([], "count_all")]
         )
-        g = comp.groupby([key, "__isnull"], as_index=False, sort=False).agg(
-            __psum=("__v", "sum"), __pn=("__v", "size"), __pnn=("__v", "count")
-        )
-        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = (
         partials.groupby([key, "__isnull"])
-        .sum(["__psum", "__pn", "__pnn"])
+        .sum(["__v_sum", "__v_count", "count_all"])
         .to_pandas()
     )
-    out = pd.DataFrame(
+    if key not in agg.columns:  # empty input: Ray drops empty blocks
+        return pd.DataFrame(
+            {
+                key: pd.Series(dtype=object),
+                "sum_value": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    agg = restore_null_key(agg, key)
+    return pd.DataFrame(
         {
-            key: agg[key].where(agg["__isnull"] == 0, other=None),
-            "sum_value": agg["sum(__psum)"].where(agg["sum(__pnn)"] > 0, other=np.nan),
-            "n": agg["sum(__pn)"].astype("int64"),
+            key: agg[key],
+            "sum_value": agg["sum(__v_sum)"].where(agg["sum(__v_count)"] > 0, other=np.nan),
+            "n": agg["sum(count_all)"].astype("int64"),
         }
     )
-    return out

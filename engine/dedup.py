@@ -142,6 +142,11 @@ def hash64_keys(keys) -> np.ndarray:
     # same key hashes the int, silently splitting one key across buckets
     # between the two sides of a join (caught by the adversarial asof
     # fixture in tests/test_entry_contract.py).
+    if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+        # uint64 beyond int64 max cannot cast; hash the raw bit pattern
+        # (value-consistent with the int64 branch for shared values)
+        v = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False)
+        return _mix64(v.astype(np.uint64))
     if (
         pa.types.is_integer(t)
         or pa.types.is_timestamp(t)

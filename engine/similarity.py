@@ -56,7 +56,14 @@ def filter_valid_vectors(ds, vec_col: str = "embedding"):
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        t = t.filter(_pc.is_valid(t.column(vec_col)))
+        col = t.column(vec_col)
+        # empty lists are zero-norm BY DEFINITION and would break the
+        # uniform-dim reshape in _stack -- drop them with the nulls
+        # before stacking
+        ok = _pc.and_(
+            _pc.is_valid(col), _pc.greater(_pc.list_value_length(col), 0)
+        )
+        t = t.filter(_pc.fill_null(ok, False))
         if len(t) == 0:
             return t
         m = _stack(t.column(vec_col))
@@ -143,8 +150,12 @@ def cosine_topk(
     groupby(query) final top-k: the reduce input is q x k x num_batches
     rows, independent of corpus size.
     """
-    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     qids = np.asarray(query_ids)
+    if len(qids) == 0:  # no valid queries: empty result, not a crash
+        from ray.data import from_arrow  # not `import ray.data`: would shadow module-level ray
+
+        return from_arrow(_empty_result(id_col))
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     qref = ray.put((q, qids))
 
     def _empty_partial():
@@ -493,9 +504,13 @@ def ivf_topk_indexed(
     """
     import ray.data
 
+    qids = np.asarray(query_ids)
+    if len(qids) == 0:  # no valid queries: empty result, not a crash
+        from ray.data import from_arrow  # not `import ray.data`: would shadow module-level ray
+
+        return from_arrow(_empty_result(id_col))
     c = load_ivf_centroids(table)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
-    qids = np.asarray(query_ids)
     probe = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :nprobe]
     probed = sorted(set(probe.ravel().tolist()))
     files = ivf_probe_files(table, probed)

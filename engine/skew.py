@@ -78,15 +78,14 @@ def salted_group_count(ds, col: str, threshold_rows: int = None, salt_buckets: i
     salt_buckets = salt_buckets if salt_buckets is not None else cfg.salt_buckets
 
     # NULL-safe key encoding (Ray's sort-based groupby cannot compare
-    # None): fillna('') + an __isnull flag; '' and NULL may share a salt
-    # decision (harmless -- over-salting is correct) but never a count
-    # group. SQL semantics: NULL is one group.
-    def encode(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # None): the shared null_safe_key composite; the fill value and NULL
+    # may share a salt decision (harmless -- over-salting is correct)
+    # but never a count group. SQL semantics: NULL is one group.
+    from engine.aggregates import null_safe_key, restore_null_key
 
-        key = t.column(col)
-        isnull = pc.is_null(key).cast(pa.int64())
-        return pa.table({col: pc.fill_null(key, ""), "__isnull": isnull})
+    def encode(t: pa.Table) -> pa.Table:
+        filled, isnull = null_safe_key(t.column(col))
+        return pa.table({col: filled, "__isnull": isnull})
 
     enc = ds.select_columns([col]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
@@ -94,6 +93,10 @@ def salted_group_count(ds, col: str, threshold_rows: int = None, salt_buckets: i
     heavy = detect_heavy_keys(enc, col, threshold_rows)
     salted = add_salt(enc, col, heavy, salt_buckets)
     partials = salted.groupby([col, "__isnull", "__salt"]).count().to_pandas()
+    if col not in partials.columns:  # empty input: Ray drops empty blocks
+        import pandas as pd
+
+        return pd.DataFrame({col: pd.Series(dtype=object), "n": pd.Series(dtype="int64")}), heavy
     out = partials.groupby([col, "__isnull"], as_index=False)["count()"].sum()
-    out[col] = out[col].where(out["__isnull"] == 0, other=None)
+    out = restore_null_key(out, col)
     return out[[col, "count()"]].rename(columns={"count()": "n"}), heavy

@@ -433,3 +433,90 @@ def test_adversarial_emb_parity(adversarial_emb_sf, name):
     pd.testing.assert_frame_equal(
         g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions (engine-level)
+# ---------------------------------------------------------------------------
+
+def test_hash64_keys_uint64_high_bit_and_cross_type():
+    from engine.dedup import hash64_keys
+
+    big = pa.array([2**63 + 5, 5, None], type=pa.uint64())
+    h = hash64_keys(big)          # must not raise (pre-fix: ArrowInvalid)
+    assert h.dtype == np.uint64 and len(h) == 3
+    # same VALUE hashes identically across int64/uint64 (cross-side joins)
+    h64 = hash64_keys(pa.array([5], type=pa.int64()))
+    assert h[1] == h64[0]
+
+
+def test_grouped_sum_count_exact_beyond_2_53_with_nulls(ray_session):
+    """A null-bearing batch must NOT float int64 keys: microsecond
+    window labels (~1.8e18 > 2^53) stay exact and group as ONE key."""
+    import ray.data
+    from engine.aggregates import grouped_sum_count
+
+    key = 1_766_000_000_000_000_001  # not float64-representable
+    t = pa.table(
+        {
+            "k": pa.array([key, key, None], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    out = grouped_sum_count(ray.data.from_arrow(t), "k", "v")
+    nonnull = out[out.k.notna()]
+    assert len(nonnull) == 1, out
+    assert int(nonnull.k.iloc[0]) == key
+    assert float(nonnull.sum_value.iloc[0]) == 3.0 and int(nonnull.n.iloc[0]) == 2
+    nullrow = out[out.k.isna()]
+    assert int(nullrow.n.iloc[0]) == 1 and float(nullrow.sum_value.iloc[0]) == 4.0
+
+
+def test_group_count_null_safe_empty_input(ray_session):
+    import ray.data
+    from engine.aggregates import group_count_null_safe
+
+    empty = ray.data.from_arrow(pa.table({"lang": pa.array([], type=pa.string())}))
+    out = group_count_null_safe(empty, "lang")
+    assert list(out.columns) == ["lang", "n"] and len(out) == 0
+
+
+def test_filter_valid_vectors_empty_list_entry(ray_session):
+    import ray.data
+    from engine.similarity import filter_valid_vectors
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [], None, [0.0, 0.0]], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = filter_valid_vectors(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.vec_id) == [1]
+
+
+def test_tumbling_fractional_width_null_ts_exact(ray_session):
+    """Fractional widths label in epoch MICROseconds (> 2^53): the
+    grouped count must keep them exact and give NULL ts its own group."""
+    import ray.data
+    from engine.window import tumbling_window_agg
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    t = pa.table(
+        {
+            "ts": pa.Array.from_pandas(
+                pd.Series([base, base + pd.Timedelta(microseconds=1), pd.NaT]),
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 8.0]),
+        }
+    )
+    out = tumbling_window_agg(ray.data.from_arrow(t), width_seconds=0.5)
+    label = int(base.value // 1000)  # epoch us
+    nonnull = out[out.window_start.notna()]
+    assert len(nonnull) == 1 and int(nonnull.window_start.iloc[0]) == label
+    assert int(nonnull.n.iloc[0]) == 2
+    nullrow = out[out.window_start.isna()]
+    assert int(nullrow.n.iloc[0]) == 1

@@ -16,6 +16,7 @@ Jobs
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 from typing import Optional
 
@@ -194,7 +195,15 @@ def ingest_sharded(
         all_entries.extend(FileEntry.from_json(d) for d in e["output_files"])
     completed = len(done)
     for i, shard in enumerate(shards):
-        pid = f"shard-{i:05d}"
+        # shard id = content hash of its input paths, NOT the ordinal:
+        # a resume whose path list shifted (a glob that picked up new
+        # files) must not skip a DIFFERENT file set under a recycled
+        # ordinal (same hazard compact.py solves with content-hash bin
+        # ids). Ordinal kept in the id only for human-readable logs.
+        digest = hashlib.blake2b(
+            "\n".join(shard).encode("utf-8"), digest_size=8
+        ).hexdigest()
+        pid = f"shard-{digest}"
         if pid in done:
             continue
         try:
@@ -324,8 +333,6 @@ def _merge_small_task(
     ``schema`` is the manifest's VISIBLE schema, aligned per file the
     same way ``Table.scan`` serves the distributed path (evolved
     columns null-filled, ``__``-internals dropped)."""
-    import pyarrow.parquet as pq
-
     from engine.merge import merge_fold_passthrough_arrow
     from engine.writer import read_tables_parallel, write_block
 
@@ -494,7 +501,6 @@ def _cluster_small_task(
     prior run's zkey dropped) -- the same view ``Table.scan`` serves
     the distributed path."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from engine.writer import read_tables_parallel, write_block
     from engine.zorder import add_cluster_key

@@ -258,6 +258,17 @@ class Table:
             removed = set(remove_files)
             files = [f for f in parent.files if f.path not in removed]
             if schema is not None:
+                # UNION with the parent schema: a commit's schema arg
+                # describes its own files; replacing wholesale let an
+                # ingest of a narrower source silently drop previously
+                # evolved columns from every subsequent scan while their
+                # data stayed live. No engine operation legitimately
+                # removes a column, so the manifest schema only widens;
+                # a type conflict on a shared name raises (loud beats a
+                # silently re-typed column).
+                pschema = parent.arrow_schema()
+                if pschema is not None and len(pschema) > 0:
+                    schema = pa.unify_schemas([pschema, schema])
                 schema_json, schema_ipc = _schema_to_json(schema), _schema_to_ipc(schema)
             else:
                 schema_json, schema_ipc = parent.schema_json, parent.schema_ipc
@@ -266,6 +277,7 @@ class Table:
             schema_json = _schema_to_json(schema) if schema is not None else []
             schema_ipc = _schema_to_ipc(schema) if schema is not None else ""
         files = files + list(add_files)
+        ts_val = time.time() if timestamp is None else timestamp
         sid = 0 if parent_id is None else parent_id + 1
         snap_path = self._snap_path(sid)
         tmp = snap_path + ".tmp"
@@ -275,7 +287,7 @@ class Table:
                     {
                         "snapshot_id": sid,
                         "parent_id": parent_id,
-                        "timestamp": time.time() if timestamp is None else timestamp,
+                        "timestamp": ts_val,
                         "operation": operation,
                         "schema": schema_json,
                         "schema_ipc": schema_ipc,
@@ -292,7 +304,19 @@ class Table:
         with open(cur_tmp, "w") as f:
             f.write(os.path.basename(snap_path))
         os.replace(cur_tmp, os.path.join(self.manifest_dir, "CURRENT"))
-        return self.snapshot(sid)
+        # build the returned Snapshot from what was just serialized --
+        # self.snapshot(sid) would re-read and re-parse the ENTIRE child
+        # manifest (O(manifest bytes) per commit, on top of the parent
+        # parse above)
+        return Snapshot(
+            snapshot_id=sid,
+            parent_id=parent_id,
+            timestamp=ts_val,
+            operation=operation,
+            schema_json=schema_json,
+            files=files,
+            schema_ipc=schema_ipc,
+        )
 
     # -- scan --------------------------------------------------------------
 
@@ -351,6 +375,42 @@ class Table:
             hidden = [n for n in names if n.startswith("__")]
             if hidden:
                 columns = [n for n in names if not n.startswith("__")]
+        else:
+            # projected scan on a schema-evolved table: without schema=
+            # the reader infers from the first file and raises KeyError
+            # when any file lacks an evolved column (the bug evolved_read
+            # already fixed). Splitting by footer keeps parquet column
+            # PUSHDOWN for the (usually dominant) files that carry every
+            # requested column; only schema-evolved stragglers pay the
+            # full-schema read + select. The footer pass is pooled
+            # metadata-only reads (fan out with ray.remote at 10^6
+            # files, like unify_parquet_schemas notes).
+            mschema = self.arrow_schema(snapshot_id)
+            if mschema is not None and all(c in mschema.names for c in columns):
+                import pyarrow.parquet as pq
+                from concurrent.futures import ThreadPoolExecutor
+
+                paths = [f.path for f in files]
+                if len(paths) <= 2:
+                    footers = [pq.read_schema(p) for p in paths]
+                else:
+                    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+                        footers = list(ex.map(pq.read_schema, paths))
+                want = set(columns)
+                have = [p for p, s in zip(paths, footers) if want <= set(s.names)]
+                lack = [p for p, s in zip(paths, footers) if not want <= set(s.names)]
+                if not lack:  # homogeneous: plain pruned read
+                    return ray.data.read_parquet(paths, columns=list(columns), **read_kwargs)
+                parts = []
+                if have:
+                    parts.append(
+                        ray.data.read_parquet(have, columns=list(columns), **read_kwargs)
+                    )
+                parts.append(
+                    ray.data.read_parquet(lack, schema=mschema, **read_kwargs)
+                    .select_columns(list(columns))
+                )
+                return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         return ray.data.read_parquet(
             [f.path for f in files], columns=columns, **read_kwargs
         )
@@ -412,21 +472,44 @@ class Table:
             "surviving_snapshots": survivors,
         }
 
-    def gc_orphans(self) -> list:
+    def gc_orphans(self, tmp_grace_seconds: float = 3600.0) -> list:
         """Delete data files referenced by NO snapshot AND NO job
         lineage log. The second condition is load-bearing: a crashed
         resumable job's committed partitions exist only in its JobLog
         until the final snapshot commit -- deleting them would make the
-        job's later resume commit a snapshot pointing at missing files."""
+        job's later resume commit a snapshot pointing at missing files.
+
+        A JobLog whose job has COMMITTED (some snapshot's operation is
+        ``<kind>:<job_id>``) is obsolete -- the resume path
+        short-circuits on ``operation_snapshot`` before ever reading
+        it -- so its references no longer pin files and the log itself
+        is pruned here; otherwise superseded outputs of re-planned
+        partitions (e.g. stale compact bins) would leak FOREVER.
+
+        Abandoned ``*.parquet.tmp-*`` files (a writer died between
+        ``pq.write_table(tmp)`` and ``os.replace``) are removed once
+        older than ``tmp_grace_seconds`` -- the grace keeps a
+        concurrently-running write's tmp safe."""
         live = set()
+        committed_ops = set()
+        cur = self.current_snapshot_id()
         for sid in self.snapshot_ids():
             for fe in self.snapshot(sid).files:
                 live.add(os.path.abspath(fe.path))
+            if cur is not None and sid <= cur:
+                with open(self._snap_path(sid)) as f:
+                    committed_ops.add(json.loads(f.readline())["operation"])
+        committed_jobs = {op.split(":", 1)[1] for op in committed_ops if ":" in op}
         if os.path.isdir(self.jobs_dir):
             for name in os.listdir(self.jobs_dir):
                 if not name.endswith(".jsonl"):
                     continue
-                with open(os.path.join(self.jobs_dir, name)) as f:
+                job_id = name[: -len(".jsonl")]
+                log_path = os.path.join(self.jobs_dir, name)
+                if job_id in committed_jobs:
+                    os.remove(log_path)  # obsolete: resume never reads it
+                    continue
+                with open(log_path) as f:
                     for line in f:
                         if not line.strip():
                             continue
@@ -436,11 +519,19 @@ class Table:
                             if p:
                                 live.add(os.path.abspath(p))
         removed = []
+        now = time.time()
         for name in os.listdir(self.data_dir):
             p = os.path.abspath(os.path.join(self.data_dir, name))
             if p.endswith(".parquet") and p not in live:
                 os.remove(p)
                 removed.append(p)
+            elif ".parquet.tmp-" in name:
+                try:
+                    if now - os.path.getmtime(p) >= tmp_grace_seconds:
+                        os.remove(p)
+                        removed.append(p)
+                except FileNotFoundError:
+                    pass
         return removed
 
 

@@ -288,18 +288,18 @@ def _bloom_probe(h: np.ndarray, bits: np.ndarray, num_bits: int, k: int = 4) -> 
 
 def _dedup_key_ts_nonempty(t: pa.Table, key: str, ts_i64, w: str) -> pa.Table:
     """One row per (key, ts) preferring a NON-EMPTY ``w`` payload, ties
-    broken by ORIGINAL row order -- the Arrow re-expression of
-    ``sort_values("__e", kind="stable").drop_duplicates([key, ts],
-    keep="first")`` (bit-identical keep choice by construction: the
-    kept row per group minimizes (empty, original_index)). No
-    ``to_pandas`` -- the payload bytes never round-trip through
-    PyObjects, and output types are the input Arrow types.
+    among equally non-empty rows broken by LAST original row order --
+    the SAME rule as ``_winner_pick``'s last-ok pick for light columns,
+    so the wide path's payload row is the row whose light values the
+    phase-A fold chose (an earliest-row rule here returned an html that
+    never co-occurred with the merged text when two writers shared the
+    winning ts). The kept row per group minimizes (empty, -original
+    index). No ``to_pandas`` -- the payload bytes never round-trip
+    through PyObjects, and output types are the input Arrow types.
 
     Grouping is on CANONICAL microsecond ts: two ns-resolution writers
     inside the same microsecond are one tie group (they are already
-    indistinguishable at the downstream (key, __wts) join), and among
-    equally non-empty tied payloads the earliest batch row wins --
-    same rule as the pandas shape this replaced."""
+    indistinguishable at the downstream (key, __wts) join)."""
     if len(t) == 0:
         return t
     arr = t.column(w).combine_chunks()
@@ -315,7 +315,12 @@ def _dedup_key_ts_nonempty(t: pa.Table, key: str, ts_i64, w: str) -> pa.Table:
     )
     idx = pc.sort_indices(
         order,
-        sort_keys=[(c, "ascending") for c in ("__k", "__t", "__e", "__i")],
+        sort_keys=[
+            ("__k", "ascending"),
+            ("__t", "ascending"),
+            ("__e", "ascending"),
+            ("__i", "descending"),  # last writer wins the tie, like _winner_pick
+        ],
         null_placement="at_start",
     )
     idx_np = idx.to_numpy()

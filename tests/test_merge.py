@@ -574,10 +574,12 @@ def test_wide_merge_pre_epoch_sub_us_timestamps(ray_session):
 
 
 def test_dedup_key_ts_nonempty_matches_pandas_reference():
-    # direct parity: the Arrow tie-dedup must keep EXACTLY the rows the
-    # old pandas shape kept (stable sort by emptiness, drop_duplicates
-    # keep-first) -- including (key, ts) ties with DISTINCT non-empty
-    # payloads, where the keep choice matters byte-for-byte
+    # direct parity with the declared rule: prefer non-empty, ties among
+    # equally non-empty rows keep the LAST original row (the same
+    # last-writer-wins pick _winner_pick applies to light columns, so
+    # the wide path's payload row is the row the phase-A fold chose;
+    # review r4 found the old keep-first rule could return an html that
+    # co-occurred with no merged text row)
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -602,8 +604,11 @@ def test_dedup_key_ts_nonempty_matches_pandas_reference():
 
         df = t.to_pandas()
         df["__e"] = ~(df["html"].map(lambda v: v is not None and len(v) > 0))
+        # reverse first: within each emptiness class the LAST original
+        # row comes first, so keep="first" picks (min __e, max index)
         ref = (
-            df.sort_values("__e", kind="stable")
+            df[::-1]
+            .sort_values("__e", kind="stable")
             .drop_duplicates(subset=["url", "wts"], keep="first")
             .drop(columns="__e")
         )

@@ -1,0 +1,138 @@
+"""Regressions for the round-4 core-module review findings: schema
+evolution on commit/scan, positional shard ids, wide-merge tie-break
+parity with the light-column fold, and GC of obsolete job logs and
+abandoned tmp files."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from engine.config import EngineConfig
+from engine.manifest import JobLog, Table
+
+CFG = EngineConfig()
+
+
+def _pages_tbl(ids, extra=None):
+    n = len(ids)
+    cols = {
+        "url": pa.array([f"u{i}" for i in ids], pa.string()),
+        "warc_ts": pa.array(
+            pd.to_datetime([1_000_000 + i for i in ids], unit="s"), pa.timestamp("us")
+        ),
+        "text": pa.array([f"t{i}" for i in ids], pa.string()),
+    }
+    if extra is not None:
+        cols["extra"] = pa.array([extra] * n, pa.string())
+    return pa.table(cols)
+
+
+def test_ingest_narrower_source_keeps_evolved_schema(tmp_path, ray_session):
+    """Commit schema UNIONS with the parent: a second ingest of a source
+    without 'extra' must not drop the column from scans while rows
+    holding it stay live."""
+    from engine.jobs import ingest
+
+    t = Table.create(str(tmp_path / "t"))
+    ingest(t, ray.data.from_arrow(_pages_tbl([1, 2], extra="e")), CFG, sanitize_cols=())
+    ingest(t, ray.data.from_arrow(_pages_tbl([3, 4])), CFG, sanitize_cols=())
+    assert "extra" in t.arrow_schema().names
+    df = t.scan().to_pandas()
+    assert "extra" in df.columns and df["extra"].notna().sum() == 2
+
+
+def test_scan_projected_columns_on_evolved_table(tmp_path, ray_session):
+    """scan(columns=...) on a table where some files lack the column:
+    must surface nulls, not KeyError (same fix evolved_read got)."""
+    from engine.jobs import ingest
+
+    t = Table.create(str(tmp_path / "t"))
+    ingest(t, ray.data.from_arrow(_pages_tbl([1, 2])), CFG, sanitize_cols=())
+    ingest(t, ray.data.from_arrow(_pages_tbl([3, 4], extra="e")), CFG, sanitize_cols=())
+    df = t.scan(columns=["extra"]).to_pandas()
+    assert len(df) == 4 and df["extra"].notna().sum() == 2
+
+
+def test_ingest_sharded_resume_with_shifted_paths(tmp_path, ray_session):
+    """Shard ids are content hashes of their input paths: a resume whose
+    path list gained a file must ingest the new data, not skip a
+    different file set under a recycled ordinal."""
+    from engine.jobs import ingest_sharded
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(_pages_tbl([10 * i, 10 * i + 1]), p)
+        paths.append(p)
+
+    t = Table.create(str(tmp_path / "t"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest_sharded(t, paths, CFG, job_id="j", shard_files=1,
+                       sanitize_cols=(), failpoint_after=2)
+    # a glob picked up a NEW file at the front before the resume
+    newp = str(tmp_path / "in-new.parquet")
+    pq.write_table(_pages_tbl([99]), newp)
+    r = ingest_sharded(t, [newp] + paths, CFG, job_id="j", shard_files=1, sanitize_cols=())
+    assert r["shards_skipped_resume"] == 2
+    urls = set(t.scan(columns=["url"]).to_pandas().url)
+    assert "u99" in urls and len(urls) == 9
+
+
+def test_wide_merge_payload_tie_matches_light_columns(ray_session):
+    """Two writers share the winning ts: the wide path's payload must
+    come from the SAME row the light-column fold picks (last writer),
+    never mixing values that co-occurred in no input row."""
+    from engine.merge import merge_datasets, merge_datasets_wide
+
+    ts = pd.Timestamp("2026-01-01")
+    t = pa.table(
+        {
+            "url": pa.array(["k", "k"], pa.string()),
+            "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+            "text": pa.array(["a", "b"], pa.string()),
+            "html": pa.array([b"X", b"Y"], pa.binary()),
+        }
+    )
+    narrow = merge_datasets(ray.data.from_arrow(t), num_buckets=2).to_pandas()
+    wide = merge_datasets_wide(
+        lambda: ray.data.from_arrow(t), ["html"], num_buckets=2
+    ).to_pandas()
+    assert len(narrow) == 1 and len(wide) == 1
+    assert narrow.text.iloc[0] == wide.text.iloc[0] == "b"
+    assert bytes(narrow.html.iloc[0]) == bytes(wide.html.iloc[0]) == b"Y"
+
+
+def test_gc_prunes_obsolete_job_logs_and_tmp_files(tmp_path, ray_session):
+    """A committed job's log no longer pins superseded outputs (they
+    become collectable orphans) and abandoned .parquet.tmp files are
+    removed after the grace period."""
+    from engine.jobs import ingest
+
+    t = Table.create(str(tmp_path / "t"))
+    ingest(t, ray.data.from_arrow(_pages_tbl([1, 2])), CFG, sanitize_cols=(), job_id="jA")
+    # stale output from a re-planned partition, referenced ONLY by jA's log
+    stale = os.path.join(t.data_dir, "stale-bin-out.parquet")
+    pq.write_table(pa.table({"x": [1]}), stale)
+    JobLog(t, "jA").record(
+        "bin-dead", ["in"], [{"path": stale, "rows": 1, "bytes": 1, "partition": None, "stats": {}}], rows=1
+    )
+    # an UNCOMMITTED job's log must keep pinning its outputs
+    pending = os.path.join(t.data_dir, "pending-shard-out.parquet")
+    pq.write_table(pa.table({"x": [2]}), pending)
+    JobLog(t, "jB").record(
+        "shard-0", ["in"], [{"path": pending, "rows": 1, "bytes": 1, "partition": None, "stats": {}}], rows=1
+    )
+    # abandoned tmp from a crashed writer
+    tmp_file = os.path.join(t.data_dir, "z.parquet.tmp-dead")
+    with open(tmp_file, "w") as f:
+        f.write("partial")
+    removed = t.gc_orphans(tmp_grace_seconds=0.0)
+    names = {os.path.basename(p) for p in removed}
+    assert names == {"stale-bin-out.parquet", "z.parquet.tmp-dead"}
+    assert os.path.exists(pending)
+    assert not os.path.exists(os.path.join(t.jobs_dir, "jA.jsonl"))
+    assert os.path.exists(os.path.join(t.jobs_dir, "jB.jsonl"))

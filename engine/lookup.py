@@ -61,7 +61,10 @@ def range_join(
     """
     iv = intervals.sort_values(lo_col).reset_index(drop=True)
     attach = attach if attach is not None else [c for c in iv.columns]
-    clash = (set(attach) - {value_col}) & set(ds.schema().names)
+    # NO exemptions: an attach column named like value_col would
+    # silently overwrite the fact's own value column (and NULL it on
+    # unmatched rows) instead of raising like every other collision
+    clash = set(attach) & set(ds.schema().names)
     if clash:
         raise ValueError(
             f"range_join attach columns collide with fact columns: {sorted(clash)}"

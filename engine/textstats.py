@@ -76,10 +76,15 @@ _SPAN = 128 * 1024
 
 def string_buffer(s: pd.Series):
     """(bytes, normalized int64 offsets) of a pandas string Series, or
-    None when any byte is non-ASCII."""
+    None when any byte is non-ASCII (or the batch exceeds the int32
+    string-offset capacity -- callers fall back to the regex path
+    either way)."""
     import pyarrow.compute as pc
 
-    arr = pa.array(s, type=pa.string())
+    try:
+        arr = pa.array(s, type=pa.string())
+    except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid):
+        return None  # >2GiB batch: regex fallback, not a crash
     if arr.null_count:
         arr = pc.fill_null(arr, "")
     off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
@@ -167,10 +172,14 @@ def _span_counts(b: np.ndarray, off: np.ndarray):
         short = lengths <= 4
         si_s, len_s = si[short], lengths[short]
         bp = np.concatenate([_LOWER[b], np.zeros(4, np.uint8)])
+        in_len = np.arange(4)[None, :] < len_s[:, None]
         g = bp[si_s[:, None] + np.arange(4)[None, :]]
-        g = np.where(np.arange(4)[None, :] < len_s[:, None], g, 0).astype(np.uint32)
+        g = np.where(in_len, g, 0).astype(np.uint32)
         packs = g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16) | (g[:, 3] << 24)
-        is_stop = np.isin(packs, _STOP_PACKS)
+        # a REAL NUL byte inside the token packs like the zero padding,
+        # so 'a\x00' would alias 'a'; no stopword contains NUL, so any
+        # in-length zero byte disqualifies (byte-exact regex parity)
+        is_stop = np.isin(packs, _STOP_PACKS) & ~((g == 0) & in_len).any(axis=1)
         rows = np.searchsorted(off, si_s[is_stop], side="right") - 1
         n_stop = np.bincount(rows, minlength=n).astype(np.int64)
     else:

@@ -49,7 +49,12 @@ def _sessionize_frame(df: pd.DataFrame, key: str, ts: str, gap_us: int) -> pd.Da
     # normalize to MICROsecond epoch regardless of source unit: pandas
     # defaults to ns timestamps, and raw astype(int64) would compare ns
     # against gap_us (1000x off -> every event its own session)
-    t = pd.to_datetime(df[ts]).astype("datetime64[us]").astype("int64")
+    tcol = pd.to_datetime(df[ts])
+    if getattr(tcol.dt, "tz", None) is not None:
+        # tz-aware ts (timestamp[us, tz=...] parquet columns): normalize
+        # to UTC-naive -- a direct astype raises TypeError
+        tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+    t = tcol.astype("datetime64[us]").astype("int64")
     k = df[key]
     isna = k.isna()
     # null keys are ONE group: value != NaN compares True, so mask the

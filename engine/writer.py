@@ -80,6 +80,8 @@ def _file_distincts(block: pa.Table, stats_cols, cap: int = DISTINCT_STAT_CAP) -
             t = t.value_type
         if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             continue
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()  # ONCE: take and unique both reuse it
         if len(block) > 1024:
             # STRIDED sample (not head-of-block): clustered/sorted
             # blocks concentrate values, so a head slice under-counts
@@ -88,10 +90,10 @@ def _file_distincts(block: pa.Table, stats_cols, cap: int = DISTINCT_STAT_CAP) -
             import numpy as np
 
             idx = np.linspace(0, len(block) - 1, 1024, dtype=np.int64)
-            sample = pc.unique(arr.combine_chunks().take(pa.array(idx)))
+            sample = pc.unique(arr.take(pa.array(idx)))
             if len(sample) > cap:
                 continue
-        vals = pc.unique(arr.combine_chunks())
+        vals = pc.unique(arr)
         if len(vals) > cap:
             continue
         out[col] = sorted(v for v in vals.to_pylist() if v is not None)

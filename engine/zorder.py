@@ -91,12 +91,33 @@ def url_sort_key32(url_arr) -> np.ndarray:
         url_arr, pattern="^https?://(www\\.)?", replacement=""
     )
     sliced = pc.utf8_slice_codeunits(pc.fill_null(stripped, ""), 0, 8)
-    ser = sliced.to_pandas().str.encode("utf-8", errors="replace")
-    fixed = np.asarray(ser.tolist(), dtype="S8")  # zero-padded/truncated to 8 bytes
-    as_u64 = fixed.view(np.uint64)
-    if np.little_endian:
-        as_u64 = as_u64.byteswap()
-    return (as_u64 >> np.uint64(32)).astype(np.uint64)
+    # vectorized 4-byte big-endian prefix straight from the Arrow utf-8
+    # buffer (only the top 32 of the old S8/u64 key survived the >>32,
+    # so the first FOUR bytes fully determine it -- bit-identical). The
+    # previous to_pandas + str.encode + tolist built one PyObject + one
+    # bytes per row inside the clustering hot path.
+    if isinstance(sliced, pa.ChunkedArray):
+        sliced = sliced.combine_chunks()
+    n = len(sliced)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(sliced.type) else np.int32
+    off = np.frombuffer(sliced.buffers()[1], dtype=off_dtype)[
+        sliced.offset : sliced.offset + n + 1
+    ].astype(np.int64)
+    data_buf = sliced.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    B = np.concatenate([data, np.zeros(4, np.uint8)])
+    lens = np.minimum(off[1:] - off[:-1], 4)
+    g = B[off[:-1, None] + np.arange(4)[None, :]]
+    g = np.where(np.arange(4)[None, :] < lens[:, None], g, 0).astype(np.uint64)
+    return (g[:, 0] << np.uint64(24)) | (g[:, 1] << np.uint64(16)) | (
+        g[:, 2] << np.uint64(8)
+    ) | g[:, 3]
 
 
 def add_cluster_key(
@@ -108,7 +129,10 @@ def add_cluster_key(
     ``cols`` = (dictionary-coded column, string-prefix column); defaults
     to the north_rule's (lang, url)."""
     code_col, str_col = cols
-    langs = batch.column(code_col).to_pandas()
+    # astype(object): a dictionary-encoded Arrow column arrives as a
+    # pandas Categorical, whose .map result rejects fillna with a value
+    # outside its categories (TypeError) even when nothing is null
+    langs = batch.column(code_col).to_pandas().astype(object)
     x = langs.map(lang_codes).fillna(len(lang_codes)).to_numpy(dtype=np.uint64)
     y = url_sort_key32(batch.column(str_col))
     if curve == "hilbert":

@@ -136,3 +136,86 @@ def test_gc_prunes_obsolete_job_logs_and_tmp_files(tmp_path, ray_session):
     assert os.path.exists(pending)
     assert not os.path.exists(os.path.join(t.jobs_dir, "jA.jsonl"))
     assert os.path.exists(os.path.join(t.jobs_dir, "jB.jsonl"))
+
+
+def test_textstats_nul_byte_token_is_not_a_stopword():
+    """'a\\x00' packs like zero-padded 'a' in the fast path; byte parity
+    with the regex path requires NUL-bearing tokens to never count."""
+    from engine.textstats import _ascii_fast_counts
+
+    s = pd.Series(["a\x00 b", "the\x00 x", "of", "to\x00\x00"])
+    fast = _ascii_fast_counts(s)
+    assert fast is not None
+    assert list(fast[5]) == [0, 0, 1, 0]
+
+
+def test_sessionize_tz_aware_timestamps(ray_session):
+    """timestamp[us, tz=...] event logs must sessionize, not TypeError."""
+    from engine.window import session_stats
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00", "2026-01-01 00:10:00", "2026-01-01 02:00:00"]
+    ).tz_localize("UTC")
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.Array.from_pandas(pd.Series(ts), type=pa.timestamp("us", tz="UTC")),
+        }
+    )
+    out = session_stats(ray.data.from_arrow(t), gap_seconds=1800.0, num_buckets=2).to_pandas()
+    assert int(out.n_sessions.iloc[0]) == 2 and int(out.n_events.iloc[0]) == 3
+
+
+def test_cluster_key_accepts_dictionary_encoded_column(ray_session):
+    """A dictionary-encoded lang column (pandas Categorical after
+    conversion) must not TypeError in the cluster-key map."""
+    import pyarrow.compute as pc
+
+    from engine.zorder import add_cluster_key
+
+    batch = pa.table(
+        {
+            "lang": pc.dictionary_encode(pa.array(["en", "zh", "en"])),
+            "url": pa.array(["https://a.example/x", "https://b.example/y", "c"]),
+        }
+    )
+    out = add_cluster_key(batch, {"en": 0, "zh": 1})
+    assert out.column("__zkey").null_count == 0 and len(out) == 3
+
+
+def test_range_join_rejects_value_col_collision(ray_session):
+    """An attach column named like value_col silently overwrote the
+    fact's value column pre-fix; it must raise like any collision."""
+    from engine.lookup import range_join
+
+    iv = pd.DataFrame({"lo": [0.0], "hi": [10.0], "value": ["low"]})
+    ds = ray.data.from_arrow(pa.table({"value": pa.array([1.0, 20.0])}))
+    with pytest.raises(ValueError, match="collide"):
+        range_join(ds, iv, "value", "lo", "hi")
+
+
+def test_url_sort_key32_matches_scalar_reference():
+    """The Arrow-buffer gather must equal the old S8 big-endian key."""
+    import numpy as np
+
+    from engine.zorder import url_sort_key32
+
+    urls = [
+        "https://www.example.com/path",
+        "http://a.b/c",
+        None,
+        "",
+        "x",
+        "\u00e9\u00e9\u00e9\u00e9\u00e9",  # multibyte utf-8
+        "https://zzzzzzzzzzzz.org",
+    ]
+    got = url_sort_key32(pa.array(urls, pa.string()))
+    import re as _re
+
+    def ref(u):
+        u = u or ""
+        u = _re.sub(r"^https?://(www\.)?", "", u)
+        b = u[:8].encode("utf-8", errors="replace")[:8].ljust(8, b"\x00")
+        return int.from_bytes(b, "big") >> 32
+
+    assert [int(v) for v in got] == [ref(u) for u in urls]

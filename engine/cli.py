@@ -119,9 +119,9 @@ def main(argv=None) -> int:
             for p, reason in rejected:
                 qlog.record(p, input_files=[p], output_files=[], rows=0,
                             state="quarantined", error=reason)
-            for err in errors:
-                qlog.record(err.split(":", 1)[0], input_files=[], output_files=[],
-                            rows=0, state="quarantined", error=err)
+            for path, msg in errors:
+                qlog.record(path, input_files=[path], output_files=[],
+                            rows=0, state="quarantined", error=msg)
         entries = write_files(ds, t.data_dir, prefix="csv", stats_cols=())
         from engine.jobs import _entries_schema
 

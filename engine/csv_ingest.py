@@ -99,7 +99,8 @@ def parse_csv_text(
         if reader.fieldnames:
             fields = [f.strip() for f in reader.fieldnames if f]
         for raw in reader:
-            raw.pop(None, None)  # ragged extras beyond the header
+            # ragged extras land under the None key; sanitize_row's
+            # `if field` drops them (reference parity -- fuzz-tested)
             row = sanitize_row(raw)
             if row:
                 records.append(row)
@@ -194,14 +195,19 @@ def _parse_file(path: str, id_field: Optional[str]):
     Two return objects so the driver fetches only the tiny meta (field
     list / error); the data table stays in the object store.
     """
-    with open(path, "rb") as f:
-        raw = f.read()
     try:
+        with open(path, "rb") as f:
+            raw = f.read()
         content = raw.decode("utf-8-sig")
-    except UnicodeDecodeError as e:
-        return pa.table({}), {"fields": [], "error": f"{path}: {e}"}
+    except (OSError, UnicodeDecodeError) as e:
+        # quarantine IO failures too (file deleted/unreadable between
+        # validation and execution) -- one bad file must not abort the
+        # whole multi-file ingest. The path rides its own meta field so
+        # consumers never re-parse it out of the message (paths may
+        # contain ':').
+        return pa.table({}), {"fields": [], "error": str(e), "path": path}
     records, fields = parse_csv_text(content, id_field)
-    return records_to_arrow(records, fields), {"fields": fields, "error": None}
+    return records_to_arrow(records, fields), {"fields": fields, "error": None, "path": path}
 
 
 @ray.remote(num_cpus=1)
@@ -227,10 +233,10 @@ def ingest_csv(
     pairs = [_parse_file.remote(p, id_field) for p in paths]
     metas = ray.get([m for _, m in pairs])
     unified: List[str] = []
-    errors: List[str] = []
+    errors: list = []  # (path, message) pairs
     for m in metas:
         if m["error"]:
-            errors.append(m["error"])
+            errors.append((m["path"], m["error"]))
         else:
             for f in m["fields"]:
                 if f not in unified:

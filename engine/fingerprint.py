@@ -23,9 +23,12 @@ _BASE = np.uint64(1_000_003)
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)  # mod 2^64 arithmetic
 
 
-def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Polynomial rolling hashes of every k-char gram (mod 2^64)."""
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+def rolling_hashes(text, k: int = 5) -> np.ndarray:
+    """Polynomial rolling hashes of every k-char gram (mod 2^64).
+    Accepts ``str`` or pre-encoded utf-8 ``bytes`` (batch callers encode
+    once and reuse the bytes for the gram count)."""
+    raw = text if isinstance(text, bytes) else text.encode("utf-8")
+    data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
     n = len(data)
     if n < k:
         return np.array([], dtype=np.uint64)
@@ -54,7 +57,7 @@ def winnow(hashes: np.ndarray, w: int = 4) -> np.ndarray:
     return mins[first]
 
 
-def fingerprint64(text: str, k: int = 5, w: int = 4) -> int:
+def fingerprint64(text, k: int = 5, w: int = 4) -> int:
     """Order-independent xor-fold of the winnowed hash set."""
     fp = winnow(rolling_hashes(text, k), w)
     if len(fp) == 0:
@@ -70,8 +73,10 @@ def fingerprint_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", k: int = 5, w: int = 4
 ) -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    fps = np.array([fingerprint64(t or "", k, w) for t in texts], dtype=np.uint64)
-    n_grams = np.array([max(0, len((t or "").encode()) - k + 1) for t in texts], dtype=np.int64)
+    # encode ONCE per row: the bytes feed both the hash and the gram count
+    bs = [(t or "").encode("utf-8") for t in texts]
+    fps = np.array([fingerprint64(b, k, w) for b in bs], dtype=np.uint64)
+    n_grams = np.array([max(0, len(b) - k + 1) for b in bs], dtype=np.int64)
     return pa.table(
         {
             id_col: batch.column(id_col),

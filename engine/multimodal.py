@@ -122,6 +122,12 @@ def decode_wav(raw: bytes) -> tuple:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if n_channels == 0 or sample_rate == 0:
+        # corrupt fmt chunk: a bare ZeroDivisionError downstream names
+        # neither the file nor the field
+        raise ValueError(
+            f"corrupt WAV fmt chunk (channels={n_channels}, rate={sample_rate})"
+        )
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     else:
@@ -230,7 +236,8 @@ class ImageDecoder:
     """
 
     OUTPUT_FIELDS = [("width", pa.int32()), ("height", pa.int32()),
-                     ("channels", pa.int32()), ("feat_mean", pa.float64())]
+                     ("channels", pa.int32()), ("feat_mean", pa.float64()),
+                     ("decode_error", pa.string())]
 
     def __init__(self, image_col: str = "image", fake: bool = False, resize_to: tuple | None = None):
         self.image_col = image_col
@@ -240,23 +247,35 @@ class ImageDecoder:
         self.decoders = ((b"P6", decode_ppm), (b"BM", decode_bmp))
 
     def _decode_one(self, payload: bytes):
+        # dead-letter convention (same as html_to_text_batch): NULL and
+        # corrupt known-format payloads quarantine the ROW via
+        # decode_error; only a genuinely unsupported compressed format
+        # raises (the honest stub -- no codec libs in this container)
+        if payload is None:
+            return None, None, None, None, "null payload"
         for magic, dec in self.decoders:
-            if payload and payload.startswith(magic):
-                img = dec(payload)
-                if self.resize_to:
-                    img = resize_nearest(img, *self.resize_to)
+            if payload.startswith(magic):
+                try:
+                    img = dec(payload)
+                    if self.resize_to:
+                        img = resize_nearest(img, *self.resize_to)
+                except ValueError as e:
+                    return None, None, None, None, str(e)
                 h, w = img.shape[:2]
                 c = img.shape[2] if img.ndim == 3 else 1
-                return int(w), int(h), int(c), float(img.mean() / 255.0)
+                return int(w), int(h), int(c), float(img.mean() / 255.0), None
         if not self.fake:
             raise NotImplementedError(
                 "compressed-image decoding requires a codec library not "
                 "present in this container (PPM/BMP decode is built in); "
                 "run with fake=True for plumbing tests"
             )
-        digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        digest = hashlib.blake2b(payload, digest_size=8).digest()
         v = np.frombuffer(digest, dtype=np.uint16).astype(np.int64)
-        return int(16 + v[0] % 2048), int(16 + v[1] % 2048), int(1 + v[2] % 4), float(v[3] % 256) / 255.0
+        return (
+            int(16 + v[0] % 2048), int(16 + v[1] % 2048), int(1 + v[2] % 4),
+            float(v[3] % 256) / 255.0, None,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         decoded = [self._decode_one(p) for p in batch.column(self.image_col).to_pylist()]
@@ -278,21 +297,37 @@ class AudioFrameSampler:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_frames, out_rate, out_dur, out_rms = [], [], [], []
+        out_frames, out_rate, out_dur, out_rms, out_err = [], [], [], [], []
+
+        def dead(msg):
+            out_frames.append(None)
+            out_rate.append(None)
+            out_dur.append(None)
+            out_rms.append(None)
+            out_err.append(msg)
+
         for p in batch.column(self.audio_col).to_pylist():
-            if p and p.startswith(b"RIFF"):
-                rate, frames, _, samples = decode_wav(p)
+            if p is None:
+                dead("null payload")
+                continue
+            if p.startswith(b"RIFF"):
+                try:
+                    rate, frames, _, samples = decode_wav(p)
+                except ValueError as e:  # corrupt WAV: quarantine the row
+                    dead(str(e))
+                    continue
                 out_frames.append(frames)
                 out_rate.append(rate)
                 out_dur.append(frames / rate)
                 out_rms.append(float(np.sqrt((samples**2).mean())) if frames else 0.0)
+                out_err.append(None)
                 continue
             if not self.fake:
                 raise NotImplementedError(
                     "compressed-audio decode not available in this "
                     "container (PCM WAV decode is built in)"
                 )
-            digest = hashlib.blake2b(p or b"", digest_size=8).digest()
+            digest = hashlib.blake2b(p, digest_size=8).digest()
             v = np.frombuffer(digest, dtype=np.uint32).astype(np.int64)
             rate = [8000, 16000, 44100, 48000][int(v[0] % 4)]
             frames = int(v[1] % 10_000_000)
@@ -300,10 +335,12 @@ class AudioFrameSampler:
             out_rate.append(rate)
             out_dur.append(frames / rate)
             out_rms.append(None)
+            out_err.append(None)
         batch = batch.append_column("n_frames", pa.array(out_frames, type=pa.int64()))
         batch = batch.append_column("sample_rate", pa.array(out_rate, type=pa.int32()))
         batch = batch.append_column("duration_s", pa.array(out_dur, type=pa.float64()))
-        return batch.append_column("rms", pa.array(out_rms, type=pa.float64()))
+        batch = batch.append_column("rms", pa.array(out_rms, type=pa.float64()))
+        return batch.append_column("decode_error", pa.array(out_err, type=pa.string()))
 
 
 class VideoFrameSampler:
@@ -323,10 +360,25 @@ class VideoFrameSampler:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        totals, samples, fps_out, lumas = [], [], [], []
+        totals, samples, fps_out, lumas, errs = [], [], [], [], []
+
+        def dead(msg):
+            totals.append(None)
+            samples.append(None)
+            fps_out.append(None)
+            lumas.append(None)
+            errs.append(msg)
+
         for p in batch.column(self.video_col).to_pylist():
-            if p and p.startswith(b"YUV4MPEG2"):
-                w, h, fps, offsets, luma_n = parse_y4m(p)
+            if p is None:
+                dead("null payload")
+                continue
+            if p.startswith(b"YUV4MPEG2"):
+                try:
+                    w, h, fps, offsets, luma_n = parse_y4m(p)
+                except ValueError as e:  # corrupt Y4M: quarantine the row
+                    dead(str(e))
+                    continue
                 idx = list(range(0, len(offsets), self.every_n))[:32]
                 totals.append(len(offsets))
                 samples.append(idx)
@@ -337,13 +389,14 @@ class VideoFrameSampler:
                         for i in idx
                     ]
                 )
+                errs.append(None)
                 continue
             if not self.fake:
                 raise NotImplementedError(
                     "compressed-video decode not available in this "
                     "container (uncompressed Y4M decode is built in)"
                 )
-            digest = hashlib.blake2b(p or b"", digest_size=8).digest()
+            digest = hashlib.blake2b(p, digest_size=8).digest()
             v = np.frombuffer(digest, dtype=np.uint32).astype(np.int64)
             fps = [24, 25, 30, 60][int(v[0] % 4)]
             n = int(v[1] % 100_000)
@@ -351,14 +404,16 @@ class VideoFrameSampler:
             samples.append(list(range(0, n, self.every_n))[:32])
             fps_out.append(fps)
             lumas.append(None)
+            errs.append(None)
         batch = batch.append_column("n_frames_total", pa.array(totals, type=pa.int64()))
         batch = batch.append_column(
             "sampled_frames", pa.array(samples, type=pa.list_(pa.int32()))
         )
         batch = batch.append_column("fps", pa.array(fps_out, type=pa.int32()))
-        return batch.append_column(
+        batch = batch.append_column(
             "frame_luma_mean", pa.array(lumas, type=pa.list_(pa.float64()))
         )
+        return batch.append_column("decode_error", pa.array(errs, type=pa.string()))
 
 
 def decode_html(ds, html_col: str = "html", batch_size: int = 256):
@@ -372,12 +427,21 @@ def decode_html(ds, html_col: str = "html", batch_size: int = 256):
     )
 
 
-def decode_images(ds, image_col: str = "image", fake: bool = False, concurrency=2, batch_size: int = 64):
+def decode_images(
+    ds,
+    image_col: str = "image",
+    fake: bool = False,
+    concurrency=2,
+    batch_size: int = 64,
+    resize_to: tuple | None = None,
+):
     return ds.map_batches(
         ImageDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"image_col": image_col, "fake": fake},
+        fn_constructor_kwargs={
+            "image_col": image_col, "fake": fake, "resize_to": resize_to,
+        },
     )

@@ -10,7 +10,7 @@ both as a vectorized Arrow ``map_batches`` body (:func:`derive_pages_batch`)
 and as ANSI SQL (:data:`PAGES_CTE`), so DuckDB can act as the oracle for
 every maintenance pipeline:
 
-- ``url``      : ``'https://example.com/p/' || (doc_id % 1024)``; NULL when
+- ``url``      : ``'https://example.com/p/' || (doc_id % URL_MOD)``; NULL when
   ``doc_id % 97 == 0`` (exercises the reference's null-id passthrough,
   ``csv_handler.py:81-84``). The modulus creates duplicate urls (~4x at
   the 500-row sf0.01 documents table) for MERGE.

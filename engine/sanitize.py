@@ -61,8 +61,9 @@ def sanitize_array(arr: pa.Array) -> pa.Array:
     mask = pc.starts_with(trimmed, pattern="=")
     for p in FORBIDDEN_PREFIXES[1:]:
         mask = pc.or_(mask, pc.starts_with(trimmed, pattern=p))
+    # scalar broadcasts: no O(n) Python list of "'" strings per batch
     prefixed = pc.binary_join_element_wise(
-        pa.array(["'"] * len(trimmed), type=trimmed.type), trimmed, ""
+        pa.scalar("'", type=trimmed.type), trimmed, ""
     )
     return pc.if_else(mask, prefixed, trimmed)
 

@@ -177,7 +177,8 @@ def test_ingest_csv_schema_evolution(tmp_path, ray_session):
     f3.write_bytes(b"id,name\n1,\xff\xfe broken\n")
     ds, fields, errors = ingest_csv([str(f1), str(f2), str(f3)])
     assert fields == ["id", "name", "city"]
-    assert len(errors) == 1 and "bad.csv" in errors[0]
+    # errors are (path, message) pairs so paths with ':' survive intact
+    assert len(errors) == 1 and errors[0][0].endswith("bad.csv")
     df = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert len(df) == 3
     # missing keys surface as nulls after evolution

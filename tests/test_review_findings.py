@@ -219,3 +219,44 @@ def test_url_sort_key32_matches_scalar_reference():
         return int.from_bytes(b, "big") >> 32
 
     assert [int(v) for v in got] == [ref(u) for u in urls]
+
+
+def test_multimodal_null_payload_dead_letters(ray_session):
+    """NULL binary payloads quarantine the ROW (decode_error), never
+    abort the job with a misleading missing-codec error."""
+    from engine.multimodal import AudioFrameSampler, ImageDecoder, VideoFrameSampler
+
+    img = ImageDecoder(fake=False)(pa.table({"image": pa.array([None], pa.binary())}))
+    assert img.column("decode_error")[0].as_py() == "null payload"
+    aud = AudioFrameSampler(fake=False)(pa.table({"audio": pa.array([None], pa.binary())}))
+    assert aud.column("decode_error")[0].as_py() == "null payload"
+    vid = VideoFrameSampler(fake=False)(pa.table({"video": pa.array([None], pa.binary())}))
+    assert vid.column("decode_error")[0].as_py() == "null payload"
+
+
+def test_corrupt_wav_quarantined_with_field_names(ray_session):
+    """A zero-channel fmt chunk must name the field, not ZeroDivisionError."""
+    import struct
+
+    from engine.multimodal import AudioFrameSampler
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)  # n_channels=0
+    raw = b"RIFF" + b"\x00" * 4 + b"WAVE"
+    raw += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    raw += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    out = AudioFrameSampler(fake=False)(pa.table({"audio": pa.array([raw], pa.binary())}))
+    err = out.column("decode_error")[0].as_py()
+    assert err and "channels=0" in err
+
+
+def test_csv_ingest_quarantines_unreadable_file(tmp_path, ray_session):
+    """An OSError (file vanished after validation) quarantines the file;
+    the other files' ingest completes."""
+    from engine.csv_ingest import ingest_csv
+
+    f1 = tmp_path / "ok.csv"
+    f1.write_text("id,name\n1,Alice\n")
+    gone = str(tmp_path / "gone.csv")
+    ds, fields, errors = ingest_csv([str(f1), gone])
+    assert len(errors) == 1 and errors[0][0] == gone
+    assert len(ds.to_pandas()) == 1

@@ -92,6 +92,18 @@ def asof_join(
             f"asof_join output name collision (left already has {sorted(clash)}); "
             f"pass a different suffix"
         )
+    if len(set(out_right_names.values())) != len(out_right_names):
+        # right-internal collision: right has both 'x' (suffixed to
+        # 'x_r') and a literal 'x_r' -- two fields would share one
+        # output name and fail later with a confusing Arrow error
+        dupes = sorted(
+            v for v in out_right_names.values()
+            if sum(1 for w in out_right_names.values() if w == v) > 1
+        )
+        raise ValueError(
+            f"asof_join right-side columns collide after suffixing: {sorted(set(dupes))}; "
+            f"pass a different suffix"
+        )
 
     union_fields = [(n, ltypes[n]) for n in lschema.names]
     for n in right_value_cols:
@@ -151,10 +163,20 @@ def asof_join(
                     "or drop null-key rows first."
                 )
         l = df[df["__side"] == 0][list(lschema.names)].sort_values(left_ts, kind="stable")
-        r = (
-            df[df["__side"] == 1][[key] + [out_right_names[n] for n in right_value_cols]]
-            .sort_values(rts_out, kind="stable")
-        )
+        r_cols = [key] + [out_right_names[n] for n in right_value_cols]
+        r = df[df["__side"] == 1][r_cols]
+        # deterministic tie order among duplicate (key, right_ts) rows:
+        # merge_asof(backward) attaches the LAST equal-ts row, and a
+        # ts-only stable sort preserves Ray block-arrival order -- the
+        # winner would flip across runs. Sorting by the value columns
+        # too pins "greatest row wins"; unorderable value types fall
+        # back to ts-only (documented best-effort) rather than crash.
+        tie_cols = [c for c in r_cols if c != rts_out]
+        try:
+            r = r.sort_values(tie_cols, kind="stable")
+        except TypeError:
+            pass  # unorderable value type: ts-only order (best effort)
+        r = r.sort_values(rts_out, kind="stable")
         if l.empty:
             return pd.DataFrame(columns=out_cols)
         # SQL join semantics: NULLs never match. pd.merge_asof would

@@ -453,27 +453,30 @@ def minhash_signatures_flat(texts, a: np.ndarray, b: np.ndarray, k: int = 3) -> 
     else:
         acc = np.zeros(0, np.uint64)
         same = np.zeros(0, bool)
-    # docs shorter than k shrink k (rare): compute their single shingle
+    # docs shorter than k shrink k (rare): compute their single shingle.
+    # Merging is a vectorized SCATTER into the segment layout -- one
+    # short doc in a 500k-doc batch must not demote the whole batch to
+    # a per-document Python loop (the inverse-scaling pathology this
+    # kernel was built to remove).
     short_docs = np.flatnonzero((lens > 0) & (lens < k))
-    short_sh = {
-        int(d): shingle_hashes_from_tokens(th[starts[d] : ends[d]], k)
-        for d in short_docs
-    }
     if len(short_docs):
-        sh_parts = []
         full = acc[same]
-        fstart = np.cumsum(np.where(lens >= k, np.maximum(lens - k + 1, 0), 0)) - np.where(
-            lens >= k, np.maximum(lens - k + 1, 0), 0
+        cnts = np.where(lens >= k, np.maximum(lens - k + 1, 0), np.minimum(lens, 1))
+        dest_off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnts, out=dest_off[1:])
+        sh = np.empty(int(dest_off[-1]), np.uint64)
+        long_cnts = np.where(lens >= k, cnts, 0)
+        if full.size:
+            d_idx = np.repeat(np.arange(n), long_cnts)
+            within = np.arange(len(full)) - np.repeat(
+                np.cumsum(long_cnts) - long_cnts, long_cnts
+            )
+            sh[dest_off[d_idx] + within] = full
+        # O(#short docs) only: each contributes exactly one joined shingle
+        sh[dest_off[short_docs]] = np.array(
+            [shingle_hashes_from_tokens(th[starts[d] : ends[d]], k)[0] for d in short_docs],
+            dtype=np.uint64,
         )
-        for d in range(n):
-            if lens[d] == 0:
-                continue
-            if lens[d] < k:
-                sh_parts.append(short_sh[int(d)])
-            else:
-                cnt = lens[d] - k + 1
-                sh_parts.append(full[fstart[d] : fstart[d] + cnt])
-        sh = np.concatenate(sh_parts) if sh_parts else np.zeros(0, np.uint64)
     else:
         sh = acc[same]
 
@@ -1207,7 +1210,13 @@ def drop_near_duplicates(ds, pairs, id_col: str = "doc_id", pair_limit: int = DR
     exchange, driver holds nothing)."""
     if isinstance(pairs, ray.data.Dataset):
         pairs = pairs.materialize()
-        if pairs.count() > pair_limit:
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            # zero-block pairs Dataset: to_pandas() drops the id columns
+            # (the documented empty-Dataset hazard) -- and no pairs
+            # means no duplicates anyway
+            return ds
+        if n_pairs > pair_limit:
             return drop_near_duplicates_shuffle(ds, pairs, id_col)
     roots = connected_components(pairs)
     losers = np.array([k for k, r in roots.items() if k != r])
@@ -1227,7 +1236,15 @@ def drop_near_duplicates_shuffle(ds, pairs, id_col: str = "doc_id", num_buckets:
     Costs one full-row corpus exchange (like MERGE); driver-resident
     state is zero."""
     comps = connected_components_distributed(pairs, num_buckets=num_buckets)
-    losers = comps.filter(lambda r: r["doc_id"] != r["root"]).select_columns(["doc_id"])
+    # vectorized: this is the SCALE path (>5M pairs), where a per-row
+    # Python lambda filter would make millions of interpreter calls
+    losers = comps.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("doc_id"), t.column("root"))).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     marker = "__is_loser"
 
@@ -1257,17 +1274,25 @@ def drop_near_duplicates_shuffle(ds, pairs, id_col: str = "doc_id", num_buckets:
             "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        bad = df[df[marker] == 1][id_col].unique()
-        out = df[(df[marker] == 0) & ~df[id_col].isin(bad)]
-        return out[corpus_cols]
+    def anti(t: pa.Table) -> pa.Table:
+        # Arrow end-to-end: the previous pandas fold floated every int64
+        # payload column in any bucket holding a loser row (tag_losers
+        # emits nulls), silently rounding values beyond 2^53 and
+        # drifting the survivor schema to double
+        m = t.column(marker).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bad = np.unique(ids[m == 1])
+        keep = (m == 0) & ~np.isin(ids, bad)
+        return t.filter(pa.array(keep)).select(corpus_cols)
 
     return (
         ds.map_batches(tag_corpus, batch_format="pyarrow", zero_copy_batch=True)
         .union(losers.map_batches(tag_losers, batch_format="pyarrow", zero_copy_batch=True))
         .map_batches(id_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
-        .map_groups(lambda df: anti(df.drop(columns="__bucket")), batch_format="pandas")
+        .map_groups(
+            lambda t: anti(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
     )
 
 
@@ -1517,7 +1542,15 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
     for dedup pipelines that only consume connectivity, never for pair
     inventories (cross-chunk pairs are skipped).
     """
-    n_bands = min(32, max_hamming + 1)
+    if not 0 <= max_hamming <= 31:
+        # the pigeonhole full-recall guarantee needs max_hamming+1 bands
+        # of a 64-bit signature; a silent cap at 32 bands would start
+        # MISSING pairs at radius >= 32 while the docstring promises
+        # full recall -- fail loud at the boundary instead
+        raise ValueError(
+            f"simhash_dup_pairs supports max_hamming in [0, 31], got {max_hamming}"
+        )
+    n_bands = max_hamming + 1
     width = 64 // n_bands
     num_buckets = _pairs_buckets(ds if ds is not None else sigs, num_buckets)
     if sigs is None:

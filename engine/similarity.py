@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -42,6 +43,15 @@ def _stack(col) -> np.ndarray:
             "filter_valid_vectors (or drop nulls) before this stage."
         )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n or (n > 1 and flat.size and not np.all(
+        np.diff(pc.list_value_length(arr).to_numpy(zero_copy_only=False)) == 0
+    )):
+        # ragged dims whose total happens to divide n would reshape into
+        # silently MISALIGNED rows -- same corruption class as nulls
+        raise ValueError(
+            "embedding lists have non-uniform dimensions; fixed-dim vectors "
+            "are required for the stacked similarity kernels"
+        )
     return flat.reshape(n, -1)
 
 
@@ -54,16 +64,12 @@ def filter_valid_vectors(ds, vec_col: str = "embedding"):
     and the SQL oracles can state exactly. One vectorized pass."""
 
     def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
         col = t.column(vec_col)
         # empty lists are zero-norm BY DEFINITION and would break the
         # uniform-dim reshape in _stack -- drop them with the nulls
         # before stacking
-        ok = _pc.and_(
-            _pc.is_valid(col), _pc.greater(_pc.list_value_length(col), 0)
-        )
-        t = t.filter(_pc.fill_null(ok, False))
+        ok = pc.and_(pc.is_valid(col), pc.greater(pc.list_value_length(col), 0))
+        t = t.filter(pc.fill_null(ok, False))
         if len(t) == 0:
             return t
         m = _stack(t.column(vec_col))
@@ -250,7 +256,19 @@ def cosine_dup_pairs(
     the object store once; each batch matmuls against it and keeps only
     pairs where the batch id < corpus id (dedup without a shuffle).
     """
-    full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    if full.empty:
+        # empty/fully-filtered corpus: to_pandas drops the columns (the
+        # documented empty-Dataset hazard) and np.stack([]) raises
+        from ray.data import from_arrow
+
+        return from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        )
+    full = full.sort_values(id_col)
     corpus_ids = full[id_col].to_numpy()
     corpus = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
     cref = ray.put((corpus_ids, corpus))
@@ -333,6 +351,11 @@ def _train_sample_vectors(
         .map_batches(strided, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
+    if sample.empty:
+        raise ValueError(
+            "IVF training corpus is empty (every embedding NULL/zero-norm?); "
+            "an index cannot be built from zero vectors"
+        )
     return np.stack(sample[vec_col].to_numpy())
 
 

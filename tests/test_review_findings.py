@@ -260,3 +260,145 @@ def test_csv_ingest_quarantines_unreadable_file(tmp_path, ray_session):
     ds, fields, errors = ingest_csv([str(f1), gone])
     assert len(errors) == 1 and errors[0][0] == gone
     assert len(ds.to_pandas()) == 1
+
+
+def test_dedup_shuffle_path_preserves_int64_beyond_2_53(ray_session):
+    """The shuffle anti-join must not float int64 payload columns in
+    loser-bearing buckets (silent rounding beyond 2^53)."""
+    import numpy as np
+
+    from engine.dedup import drop_near_duplicates_shuffle
+
+    big = 2**53 + 1
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "crawl_id": pa.array([big, big + 2, big + 4], pa.int64()),
+            "text": pa.array(["a", "a", "b"], pa.string()),
+        }
+    )
+    prs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([1], pa.int64()), "id_b": pa.array([2], pa.int64())})
+    )
+    out = drop_near_duplicates_shuffle(
+        ray.data.from_arrow(corpus), prs, num_buckets=2
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [1, 3]
+    assert out.crawl_id.dtype.kind == "i"
+    assert list(out.crawl_id) == [big, big + 4]
+
+
+def test_drop_near_duplicates_empty_pairs(ray_session):
+    from engine.dedup import drop_near_duplicates
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["a", "b"])})
+    )
+    empty_pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    ).filter(lambda r: False)
+    out = drop_near_duplicates(corpus, empty_pairs).to_pandas()
+    assert len(out) == 2
+
+
+def test_cosine_dup_pairs_empty_corpus(ray_session):
+    from engine.similarity import cosine_dup_pairs, filter_valid_vectors
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([None], pa.list_(pa.float32())),
+        }
+    )
+    out = cosine_dup_pairs(filter_valid_vectors(ray.data.from_arrow(t)))
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "cosine"]
+
+
+def test_stack_rejects_ragged_dims():
+    from engine.similarity import _stack
+
+    ragged = pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0, 8.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="non-uniform"):
+        _stack(ragged)
+
+
+def test_simhash_radius_over_31_raises(ray_session):
+    from engine.dedup import simhash_dup_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dup_pairs(ds, max_hamming=35)
+
+
+def test_minhash_short_docs_mixed_with_long(ray_session):
+    """Signature parity: batches mixing sub-k docs with long ones (the
+    vectorized scatter) must equal per-doc signatures."""
+    import numpy as np
+
+    from engine.dedup import minhash_signatures_flat
+
+    rng = np.random.default_rng(5)
+    a = (rng.integers(1, 2**61, 16) | 1).astype(np.uint64)
+    b = rng.integers(0, 2**61, 16).astype(np.uint64)
+    texts = ["one two", "a much longer document with many words here", "", "x",
+             "full four word doc"]
+    mixed = minhash_signatures_flat(texts, a, b)
+    for i, t in enumerate(texts):
+        solo = minhash_signatures_flat([t], a, b)
+        assert np.array_equal(mixed[i], solo[0]), f"row {i} diverged"
+
+
+def test_asof_join_duplicate_right_ts_deterministic(ray_session):
+    """Two right rows sharing (key, ts): the greatest-by-value row wins,
+    independent of block arrival order."""
+    from engine.asof import asof_join
+
+    base = pd.Timestamp("2026-01-01")
+    left = pa.table(
+        {
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([base + pd.Timedelta(hours=1)], pa.timestamp("us")),
+        }
+    )
+    for order in ([1.0, 2.0], [2.0, 1.0]):
+        right = pa.table(
+            {
+                "user_id": pa.array([7, 7], pa.int64()),
+                "dt": pa.array([base, base], pa.timestamp("us")),
+                "price": pa.array(order, pa.float64()),
+            }
+        )
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_ts="ts", right_ts="dt", num_buckets=2,
+        ).to_pandas()
+        assert float(out.price.iloc[0]) == 2.0, order
+
+
+def test_asof_join_right_internal_collision_raises(ray_session):
+    from engine.asof import asof_join
+
+    left = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([pd.Timestamp("2026-01-01")], pa.timestamp("us")),
+            "x": pa.array([0.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "dt": pa.array([pd.Timestamp("2026-01-01")], pa.timestamp("us")),
+            "x": pa.array([1.0]),      # -> x_r
+            "x_r": pa.array([2.0]),    # already x_r
+        }
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_ts="ts", right_ts="dt",
+        )

@@ -188,6 +188,12 @@ def parse_y4m(raw: bytes):
         if raw[pos : pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at byte {pos}")
         pos = raw.index(b"\n", pos) + 1
+        if pos + fbytes > n:
+            # a partial trailing frame is corruption, not a frame: callers
+            # sample raw[offset : offset+luma_n] OUTSIDE any try block, so
+            # emitting this offset would crash the actor instead of
+            # dead-lettering the row
+            raise ValueError(f"truncated frame at byte {pos} (need {fbytes} bytes)")
         offsets.append(pos)
         pos += fbytes
     return w, h, fps, offsets, w * h
@@ -259,7 +265,10 @@ class ImageDecoder:
                     img = dec(payload)
                     if self.resize_to:
                         img = resize_nearest(img, *self.resize_to)
-                except ValueError as e:
+                except (ValueError, struct.error) as e:
+                    # struct.error: a truncated header fails inside
+                    # struct.unpack_from, which does NOT subclass
+                    # ValueError -- quarantine, don't kill the actor
                     return None, None, None, None, str(e)
                 h, w = img.shape[:2]
                 c = img.shape[2] if img.ndim == 3 else 1
@@ -313,7 +322,9 @@ class AudioFrameSampler:
             if p.startswith(b"RIFF"):
                 try:
                     rate, frames, _, samples = decode_wav(p)
-                except ValueError as e:  # corrupt WAV: quarantine the row
+                except (ValueError, struct.error) as e:
+                    # corrupt WAV: quarantine the row (struct.error is a
+                    # truncated fmt/chunk header, not a ValueError subclass)
                     dead(str(e))
                     continue
                 out_frames.append(frames)

@@ -252,6 +252,21 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped LIMIT (top-k per partition key): the distributed
+    per-batch-prune + bucketed-fold operator, NOT a driver sort --
+    per-batch partials emit <= k rows per key, the exchange moves
+    O(k x keys x batches) rows (engine.aggregates.grouped_topk)."""
+    import ray.data
+    from engine.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    out = grouped_topk(ds, "lang", "n_chars", 3, tie_cols=("doc_id",))
+    return _schema_stable(out, lang="object", doc_id="int64", n_chars="int64")
+
+
 def _q_distinct_ratio(sf_dir: str):
     """A5: first-column duplication ratio, exact at scale via groupby."""
     import pandas as pd
@@ -671,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ratios": _q_quality_ratios,
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "distinct_ratio": _q_distinct_ratio,
         "type_score": _q_type_score,
         "stats_minmax": _q_stats_minmax,
@@ -982,6 +998,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
+        # grouped LIMIT: rn semantics mirror grouped_topk exactly
+        # (DESC NULLS LAST, doc_id tie, NULL lang = one partition)
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "  SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn"
+            "  FROM documents) WHERE rn <= 3"
+        ),
         "distinct_ratio": (
             "SELECT 1.0 - count(DISTINCT lang) / CAST(count(*) AS DOUBLE) AS distinct_ratio FROM documents"
         ),

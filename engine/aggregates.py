@@ -111,6 +111,89 @@ def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
     return pd.DataFrame({col: agg[col], out_col: agg["sum(count_all)"].astype("int64")})
 
 
+def _topk_table(
+    t: pa.Table,
+    key: str,
+    order_col: str,
+    k: int,
+    tie_cols: tuple[str, ...],
+    descending: bool,
+) -> pa.Table:
+    """Per-key top-k of ONE Arrow table, vectorized end-to-end: sort by
+    (null-safe key, order_col, *tie_cols), then keep the first k rows of
+    every key run via numpy run-boundary arithmetic -- no per-group
+    Python, key bytes never become PyObjects (a pandas path would float
+    null-bearing int64 keys, CLAUDE.md invariant). Semantics = SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY order_col
+    [DESC] NULLS LAST, tie_cols ASC NULLS LAST) <= k`` with NULL keys
+    forming one partition (DuckDB's default null order is NULLS LAST
+    in both directions)."""
+    if t.num_rows == 0:
+        return t
+    filled, isnull = null_safe_key(t.column(key))
+    tmp = t.append_column("__k", filled).append_column("__n", isnull)
+    order = "descending" if descending else "ascending"
+    sort_keys = [("__n", "ascending"), ("__k", "ascending"), (order_col, order)]
+    sort_keys += [(c, "ascending") for c in tie_cols]
+    idx = pc.sort_indices(tmp, sort_keys=sort_keys, null_placement="at_end")
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    skey = pc.take(filled, idx)
+    if isinstance(skey, pa.ChunkedArray):
+        skey = skey.combine_chunks()
+    codes = pc.dictionary_encode(skey)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    codes = codes.indices.to_numpy(zero_copy_only=False)
+    snull = pc.take(isnull, idx).to_numpy(zero_copy_only=False)
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]) | (snull[1:] != snull[:-1])
+    starts = np.flatnonzero(change)
+    seg = np.cumsum(change) - 1
+    rank = np.arange(len(codes), dtype=np.int64) - starts[seg]
+    return t.take(pa.array(idx_np[rank < k]))
+
+
+def grouped_topk(
+    ds,
+    key: str,
+    order_col: str,
+    k: int,
+    tie_cols: tuple[str, ...] = (),
+    descending: bool = True,
+    num_buckets: int = 64,
+):
+    """Distributed per-key top-k (grouped LIMIT): each batch first prunes
+    to <= k rows per key it contains (the partial emits O(k x keys)
+    rows, not O(rows)), then a key-hash bucketed exchange co-locates
+    keys and one vectorized fold per coarse bucket finishes. Rows
+    shuffled = O(k x distinct_keys x batches); the result streams out
+    as a Dataset with the input schema. Deterministic iff
+    (order_col, *tie_cols) is unique within a key -- pass a unique id
+    as the last tie column."""
+    from engine.dedup import hash64_keys
+
+    tie_cols = tuple(tie_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _topk_table(t, key, order_col, k, tie_cols, descending)
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], type=pa.int64()))
+        h = hash64_keys(null_safe_key(t.column(key))[0])
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        return _topk_table(
+            t.drop_columns(["__bucket"]), key, order_col, k, tie_cols, descending
+        )
+
+    return pruned.groupby("__bucket").map_groups(fold, batch_format="pyarrow")
+
+
 def grouped_sum_count(ds, key: str, value_col: str):
     """Pre-aggregated grouped sum+count: per-batch Arrow group_by emits
     one partial row per key per batch; the exchange then moves partials

@@ -103,6 +103,7 @@ PARITY_QUERIES = [
     "lang_counts",
     "top_langs",
     "distinct_ratio",
+    "top_docs_per_lang",
     "sanitize_text",
     "salted_lang_counts",
     "exact_dedup",

@@ -266,3 +266,87 @@ def test_read_tables_parallel_all_sizes(tmp_path):
     for k in (1, 2, 5):
         got = read_tables_parallel(paths[:k])
         assert [t.column("x").to_pylist() for t in got] == [[i] for i in range(k)]
+
+
+def test_grouped_topk_duckdb_parity(ray_session):
+    """grouped_topk == SQL row_number() OVER (PARTITION BY key ORDER BY
+    v DESC NULLS LAST, id) <= k on a fixture with NULL keys, NULL order
+    values, heavy ties, and rows spread over many blocks."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.aggregates import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "lang": pd.array(
+                [None if i % 37 == 0 else f"l{i % 7}" for i in range(n)],
+                dtype=object,
+            ),
+            "score": [
+                None if i % 41 == 0 else int(rng.integers(0, 50)) for i in range(n)
+            ],
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = grouped_topk(ds, "lang", "score", 3, tie_cols=("doc_id",)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT lang, score, doc_id FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY lang ORDER BY score DESC, doc_id) rn FROM t) WHERE rn <= 3"
+    ).fetchdf()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_grouped_topk_int64_keys_past_2_53(ray_session):
+    """int64 keys beyond 2^53 must not split/merge groups (the pandas
+    float path would): top-1 per unique big key returns every row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.aggregates import grouped_topk
+
+    n = 500
+    df = pd.DataFrame(
+        {
+            "big": np.arange(n, dtype=np.int64) + (1 << 60),
+            "v": np.ones(n, dtype=np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = grouped_topk(
+        ray.data.from_pandas(df).repartition(7), "big", "v", 1, tie_cols=("id",)
+    ).to_pandas()
+    assert len(got) == n and set(got.big) == set(df.big)
+
+
+def test_grouped_topk_ascending_and_empty(ray_session):
+    """descending=False picks the minima; an all-filtered input yields
+    an empty result without crashing."""
+    import pandas as pd
+    import ray.data
+
+    from engine.aggregates import grouped_topk
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [3, 1, 2], "id": [0, 1, 2]})
+    ds = ray.data.from_pandas(df)
+    got = grouped_topk(ds, "k", "v", 1, tie_cols=("id",), descending=False).to_pandas()
+    assert sorted(got.v.tolist()) == [1, 2]
+    empty = grouped_topk(
+        ds.filter(lambda r: False), "k", "v", 1, tie_cols=("id",)
+    ).to_pandas()
+    assert len(empty) == 0

@@ -252,6 +252,19 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction (emails/URLs/IPs/phones) -- engine.redact applies
+    the shared RE2 pattern table vectorized per batch; the oracle
+    nests regexp_replace over the SAME literal patterns."""
+    import ray.data
+    from engine.redact import redact_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact_text(ds).select_columns(["doc_id", "redacted"])
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Grouped LIMIT (top-k per partition key): the distributed
     per-batch-prune + bucketed-fold operator, NOT a driver sort --
@@ -674,6 +687,7 @@ def _q_maintenance_full(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "sanitize_text": _q_sanitize_text,
+        "redact_pii": _q_redact_pii,
         "merge_lww": _q_merge_lww,
         "stream_upsert": _q_stream_upsert,
         "compact_scan": _q_compact_scan,
@@ -728,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN left({trim}, 1) IN ('=', '+', '-', '@') THEN '''' || {trim} "
         f"ELSE {trim} END"
     )
+    from engine.redact import oracle_expr as _redact_oracle_expr
+
+    redact_expr = _redact_oracle_expr("text")
     merged_scan = (
         PAGES_CTE
         + """
@@ -970,6 +987,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "sanitize_text": f"SELECT doc_id, {sanitize} AS clean_text FROM documents",
+        "redact_pii": (
+            f"SELECT doc_id, {redact_expr} AS redacted FROM documents"
+        ),
         "merge_lww": merged_scan,
         # ts-monotone arrivals: stream + MERGE INTO == one batch MERGE,
         # so the streaming pipeline shares the batch-merge oracle

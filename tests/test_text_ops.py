@@ -380,3 +380,46 @@ def test_per_row_int32_accumulator_exact_past_float32_cap():
     # 2^24 + 1 ones: float32 accumulation would have returned 2^24
     off2 = np.array([0, big], dtype=np.int64)
     assert _per_row(np.ones(big, dtype=bool), off2, 1)[0] == big
+
+
+def test_redact_duckdb_parity_and_order(ray_session):
+    """engine.redact == nested DuckDB regexp_replace over the same
+    literal patterns; order pinned (email before phone, url before ip);
+    URL terminates at unicode whitespace (Python-\\s, not RE2 \\s)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from engine.redact import oracle_expr, redact_array
+
+    texts = [
+        None,
+        "",
+        "write to bob.smith+x@ex-ample.co.uk now",
+        "see https://ex.com/a?b=1#c　next and http://10.0.0.1/x",
+        "ip 192.168.1.255 port",
+        "call +1 (555) 123-4567 or 555.123.4567",
+        "a@b.c",  # 1-char TLD: not an email
+        "mixed user@host.org visits http://host.org/p?e=user@host.org",
+    ]
+    got = redact_array(pa.array(texts, type=pa.string())).to_pylist()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": texts}))
+    want = [
+        r[0] for r in con.execute(f"SELECT {oracle_expr('text')} FROM t").fetchall()
+    ]
+    assert got == want
+    assert got[3] == "see <URL>　next and <URL>"  # no bare <IP> inside a URL
+    assert got[5] == "call <PHONE> or <PHONE>"
+    assert got[6] == "a@b.c"
+
+
+def test_redact_dataset_stage(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from engine.redact import redact_text
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["x a@bb.co y", None]})
+    out = redact_text(ray.data.from_pandas(df)).to_pandas()
+    assert out.redacted.tolist() == ["x <EMAIL> y", ""]

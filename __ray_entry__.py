@@ -252,6 +252,23 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles WITHOUT a global sort: multi-pass
+    selection (count+sample -> searchsorted histogram -> bracket fetch),
+    engine.quantiles. DuckDB quantile_disc semantics (rank ceil(q*n))."""
+    import pandas as pd
+    import ray.data
+    from engine.quantiles import quantile_disc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    q25, q50, q75 = quantile_disc(ds, "l_extendedprice", [0.25, 0.5, 0.75])
+    return pd.DataFrame(
+        {"q25": [round(q25, 2)], "q50": [round(q50, 2)], "q75": [round(q75, 2)]}
+    )
+
+
 def _q_redact_pii(sf_dir: str):
     """PII redaction (emails/URLs/IPs/phones) -- engine.redact applies
     the shared RE2 pattern table vectorized per batch; the oracle
@@ -708,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "broadcast_join": _q_broadcast_join,
         "lineitem_pricing": _q_lineitem_pricing,
+        "price_quantiles": _q_price_quantiles,
         "salted_lang_counts": _q_salted_lang_counts,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1053,6 +1071,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue, count(*) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "price_quantiles": (
+            "SELECT round(quantile_disc(l_extendedprice, 0.25), 2) AS q25, "
+            "round(quantile_disc(l_extendedprice, 0.50), 2) AS q50, "
+            "round(quantile_disc(l_extendedprice, 0.75), 2) AS q75 FROM lineitem"
         ),
         "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         # NULL-ts events are explicitly unmatched: the engine applies

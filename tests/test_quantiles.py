@@ -1,0 +1,80 @@
+"""engine.quantiles: exact distributed selection vs DuckDB
+quantile_disc / quantile_cont."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from engine.quantiles import quantile_cont, quantile_disc
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+
+def _duck(df, fn, qs):
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(f"SELECT {fn}(v, {qs}) FROM t").fetchone()[0]
+
+
+def test_quantile_disc_nulls_nan_ties(ray_session):
+    """Floats with NULLs, NaN (sorts last, like DuckDB), and a heavy
+    tie; tiny per-batch sample so brackets actually matter."""
+    rng = np.random.default_rng(11)
+    vals = rng.normal(100, 20, 20000)
+    vals[::97] = np.nan
+    vals[::53] = 42.0
+    s = pd.Series(vals, dtype="float64")
+    s[::31] = None
+    df = pd.DataFrame({"v": s})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = quantile_disc(ds, "v", QS, candidates_per_batch=32)
+    want = _duck(df, "quantile_disc", QS)
+    for g, w in zip(got, want):
+        assert (np.isnan(g) and np.isnan(w)) or g == w, (g, w)
+
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"v": rng.uniform(-5, 5, 7001)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = quantile_cont(ds, "v", [0.25, 0.5, 0.75], candidates_per_batch=32)
+    want = _duck(df, "quantile_cont", [0.25, 0.5, 0.75])
+    assert np.allclose(got, want)
+
+
+def test_quantile_int64_past_2_53_stays_exact(ray_session):
+    """int64 values beyond 2^53 never pass through float64: the median
+    of a 2^60-offset ramp is exact to the unit."""
+    df = pd.DataFrame({"v": np.arange(10001, dtype=np.int64) + (1 << 60)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = quantile_disc(ds, "v", [0.5], candidates_per_batch=16)
+    assert got == [_duck(df, "quantile_disc", [0.5])[0]]
+
+
+def test_quantile_empty_and_all_null(ray_session):
+    e = pd.DataFrame({"v": pd.Series([None, None], dtype="float64")})
+    assert quantile_disc(ray.data.from_pandas(e), "v", [0.5, 0.9]) == [None, None]
+    assert quantile_cont(ray.data.from_pandas(e), "v", [0.5]) == [None]
+
+
+def test_quantile_refine_loop_on_skew(ray_session):
+    """bracket_limit far below the data size forces the refinement
+    pass; the result must stay exact."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": np.concatenate([rng.normal(0, 1, 9000), np.full(9000, 7.0)])})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = quantile_disc(
+        ds, "v", [0.5, 0.75], candidates_per_batch=2, bracket_limit=64
+    )
+    want = _duck(df, "quantile_disc", [0.5, 0.75])
+    assert got == list(want)
+
+
+@pytest.mark.parametrize("n,q", [(1, 0.5), (2, 0.5), (3, 1.0 / 3), (5, 0.2)])
+def test_quantile_disc_rank_convention(ray_session, n, q):
+    """rank = ceil(q*n) on tiny inputs, pinned against DuckDB."""
+    df = pd.DataFrame({"v": np.arange(1, n + 1, dtype=np.int64)})
+    got = quantile_disc(ray.data.from_pandas(df), "v", [q])
+    assert got == [_duck(df, "quantile_disc", [q])[0]]

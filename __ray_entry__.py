@@ -252,6 +252,21 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus vocabulary sweep: exact (lang, term) counts (stopwords
+    excluded) -> top-5 terms per language. Partial Arrow counts per
+    batch, one groupby of partials, grouped_topk finish -- tokens never
+    cross the exchange (engine.terms)."""
+    import ray.data
+    from engine.terms import top_terms_per_lang
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    out = top_terms_per_lang(ds, k=5)
+    return _schema_stable(out, lang="object", term="object", n="int64")
+
+
 def _q_price_quantiles(sf_dir: str):
     """Exact distributed quantiles WITHOUT a global sort: multi-pass
     selection (count+sample -> searchsorted histogram -> bracket fetch),
@@ -718,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "top_terms": _q_top_terms,
         "distinct_ratio": _q_distinct_ratio,
         "type_score": _q_type_score,
         "stats_minmax": _q_stats_minmax,
@@ -1036,6 +1052,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
+        # vocabulary sweep: same tokenizer class as token_stats, same
+        # stopword set as quality_ratios, grouped-topk rn semantics
+        "top_terms": (
+            f"WITH toks AS ("
+            f"  SELECT lang, unnest(regexp_extract_all(lower(coalesce(text, '')),"
+            f" '[^{pys}]+')) AS term FROM documents"
+            f"), counts AS ("
+            f"  SELECT lang, term, count(*) AS n FROM toks"
+            f"  WHERE term NOT IN ({stopwords}) GROUP BY lang, term)"
+            f" SELECT lang, term, n FROM ("
+            f"  SELECT *, row_number() OVER ("
+            f"    PARTITION BY lang ORDER BY n DESC, term) AS rn"
+            f"  FROM counts) WHERE rn <= 5"
+        ),
         # grouped LIMIT: rn semantics mirror grouped_topk exactly
         # (DESC NULLS LAST, doc_id tie, NULL lang = one partition)
         "top_docs_per_lang": (

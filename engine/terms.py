@@ -1,0 +1,87 @@
+"""Per-language term-frequency analysis (top terms per lang).
+
+The corpus-analysis member of the aggregate family: tokenize every
+document (same token notion as ``engine.textstats`` -- runs of
+non-Python-whitespace over the lowercased text), drop stopwords, count
+``(lang, term)`` pairs, and keep the top-k terms per language.
+
+Dataflow: one vectorized Arrow pass per batch (lower -> regex split ->
+flatten with ``np.repeat``-ed lang ids -> stopword ``is_in`` filter ->
+Arrow ``group_by`` partial counts), then a Ray groupby folds partials
+(the exchange moves O(distinct (lang, term) per batch) tiny rows, not
+tokens), and :func:`engine.aggregates.grouped_topk` finishes with its
+per-batch prune + bucketed fold. Zero per-row Python anywhere.
+
+NULL langs form one group (``null_safe_key`` composite, CLAUDE.md
+invariant); NULL text counts as '' like every engine text kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.aggregates import grouped_topk, null_safe_key
+from engine.redact import RE2_WS
+from engine.textstats import STOPWORDS
+
+
+def term_counts(ds, text_col: str = "text", lang_col: str = "lang"):
+    """Dataset of exact ``(lang, term, n)`` counts, stopwords excluded.
+    NULL lang is a real NULL in the output (one group)."""
+    stop = pa.array(STOPWORDS, type=pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column(text_col), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=f"[{RE2_WS}]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        # lang id per token: repeat each row's lang by its token count
+        reps = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        filled, isnull = null_safe_key(t.column(lang_col))
+        lang_rep = pc.take(filled, pa.array(np.repeat(np.arange(len(t)), reps)))
+        null_rep = pc.take(isnull, pa.array(np.repeat(np.arange(len(t)), reps)))
+        # split() emits '' at run boundaries; drop those and stopwords
+        keep = pc.and_(
+            pc.not_equal(flat, ""), pc.invert(pc.is_in(flat, value_set=stop))
+        )
+        comp = pa.table(
+            {
+                lang_col: lang_rep,
+                "__isnull": null_rep,
+                "term": flat,
+            }
+        ).filter(keep)
+        return comp.group_by([lang_col, "__isnull", "term"]).aggregate(
+            [([], "count_all")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby([lang_col, "__isnull", "term"]).sum("count_all")
+
+    def restore(t: pa.Table) -> pa.Table:
+        lang = pc.if_else(
+            pc.equal(t.column("__isnull"), 1),
+            pa.scalar(None, type=t.schema.field(lang_col).type),
+            t.column(lang_col),
+        )
+        return pa.table(
+            {
+                lang_col: lang,
+                "term": t.column("term"),
+                "n": t.column("sum(count_all)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms_per_lang(ds, k: int = 5, text_col: str = "text", lang_col: str = "lang"):
+    """Top-k terms per language by exact count (ties broken by term
+    ascending -- deterministic). Returns a Dataset (lang, term, n)."""
+    counts = term_counts(ds, text_col=text_col, lang_col=lang_col)
+    return grouped_topk(counts, lang_col, "n", k, tie_cols=("term",))

@@ -104,6 +104,7 @@ PARITY_QUERIES = [
     "top_langs",
     "distinct_ratio",
     "top_docs_per_lang",
+    "top_terms",
     "sanitize_text",
     "redact_pii",
     "salted_lang_counts",

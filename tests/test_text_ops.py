@@ -423,3 +423,58 @@ def test_redact_dataset_stage(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["x a@bb.co y", None]})
     out = redact_text(ray.data.from_pandas(df)).to_pandas()
     assert out.redacted.tolist() == ["x <EMAIL> y", ""]
+
+
+def test_top_terms_per_lang_duckdb_parity(ray_session):
+    """engine.terms == SQL tokenize/count/rank on a fixture with NULL
+    text/lang, unicode uppercase, CJK, unicode whitespace boundaries,
+    stopwords, and ties."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from engine.terms import top_terms_per_lang
+    from engine.textstats import STOPWORDS
+
+    texts = [
+        None,
+        "",
+        "Hello WORLD hello\tworld  foo",
+        "the of and a to in is foo bar foo",
+        "北京 北京 écran Écran",
+        "mixed tokens　here mixed",
+        "x " * 50 + "y",
+    ]
+    langs = ["en", "en", "en", None, "zh", "fr", "fr"]
+    df = pd.DataFrame(
+        {"text": texts * 30, "lang": langs * 30, "doc_id": range(len(texts) * 30)}
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = top_terms_per_lang(ds, k=3).to_pandas()
+    pys = (
+        r"\t\n\x0b\f\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
+        r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+    )
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT lang, unnest(regexp_extract_all(lower(coalesce(text,'')),
+                 '[^{pys}]+')) AS term FROM documents
+        ), counts AS (
+          SELECT lang, term, count(*) AS n FROM toks
+          WHERE term NOT IN ({stop}) GROUP BY lang, term)
+        SELECT lang, term, n FROM (
+          SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) rn
+          FROM counts) WHERE rn <= 3"""
+    ).fetchdf()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)

@@ -252,6 +252,21 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_top_dup_urls(sf_dir: str):
+    """Global ORDER BY n LIMIT 10 over a high-cardinality grouped
+    count, fully streaming: per-batch Arrow count partials -> one
+    groupby of partials (group_count_ds) -> per-batch top-k prune +
+    single fold (global_topk). Neither the counts nor the sort ever
+    land on the driver."""
+    from engine.aggregates import global_topk, group_count_ds
+    from engine.pages import read_pages
+
+    pages = read_pages(sf_dir, with_html=False).select_columns(["url"])
+    counts = group_count_ds(pages, "url")
+    out = global_topk(counts, "n", 10, tie_cols=("url",))
+    return _schema_stable(out, url="object", n="int64")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus vocabulary sweep: exact (lang, term) counts (stopwords
     excluded) -> top-5 terms per language. Partial Arrow counts per
@@ -734,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "top_terms": _q_top_terms,
+        "top_dup_urls": _q_top_dup_urls,
         "distinct_ratio": _q_distinct_ratio,
         "type_score": _q_type_score,
         "stats_minmax": _q_stats_minmax,
@@ -1052,6 +1068,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
+        # global grouped-count LIMIT: NULL url is one group, NULLS LAST
+        # in the url tie-break (DuckDB default)
+        "top_dup_urls": (
+            PAGES_CTE
+            + "SELECT url, count(*) AS n FROM pages GROUP BY url "
+            "ORDER BY n DESC, url LIMIT 10"
+        ),
         # vocabulary sweep: same tokenizer class as token_stats, same
         # stopword set as quality_ratios, grouped-topk rn semantics
         "top_terms": (

@@ -92,11 +92,41 @@ def restore_null_key(agg: pd.DataFrame, col: str) -> pd.DataFrame:
     return agg.drop(columns="__isnull")
 
 
+def group_count_ds(ds, col: str, out_col: str = "n"):
+    """Grouped ``count(*)`` tolerating NULL keys, returned as a
+    STREAMING Dataset (col, out_col) with the NULL key restored
+    Arrow-side -- the scale path when the key cardinality is too high
+    to land on the driver (e.g. per-url counts). Arrow pre-aggregation
+    per batch (combiner: rows shuffled = O(keys x batches))."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        filled, isnull = null_safe_key(t.column(col))
+        comp = pa.table({col: filled, "__isnull": isnull})
+        return comp.group_by([col, "__isnull"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby([col, "__isnull"]).sum("count_all")
+
+    def restore(t: pa.Table) -> pa.Table:
+        keyed = pc.if_else(
+            pc.equal(t.column("__isnull"), 1),
+            pa.scalar(None, type=t.schema.field(col).type),
+            t.column(col),
+        )
+        return pa.table(
+            {col: keyed, out_col: t.column("sum(count_all)").cast(pa.int64())}
+        )
+
+    return agg.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
-    """Grouped ``count(*)`` tolerating NULL keys (SQL semantics: NULL is
-    one group). Arrow pre-aggregation per batch (combiner: rows shuffled
-    = O(keys x batches)), distributed final groupby on the null-free
-    composite, NULL restored on the result."""
+    """Driver-side grouped count for low-cardinality keys (langs, event
+    types): one pandas frame. Deliberately does NOT reuse
+    :func:`group_count_ds`'s Arrow-side NULL restore -- a NULL-bearing
+    int64 key column would float through the driver ``to_pandas``
+    (2^53 corruption); the composite rides to the driver and
+    ``restore_null_key`` restores through object dtype instead."""
 
     def partial(t: pa.Table) -> pa.Table:
         filled, isnull = null_safe_key(t.column(col))
@@ -192,6 +222,30 @@ def grouped_topk(
         )
 
     return pruned.groupby("__bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def global_topk(ds, order_col: str, k: int, tie_cols: tuple[str, ...] = (),
+                descending: bool = True):
+    """Global ORDER BY ... LIMIT k without a driver-side sort or a full
+    range-partition sort: every batch prunes to its own top-k (the
+    partial), one final fold finishes -- the exchange moves O(k x
+    batches) rows. Same NULLS LAST / tie semantics as grouped_topk."""
+    tie_cols = tuple(tie_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topk_table(
+            t.append_column("__g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            "__g", order_col, k, tie_cols, descending,
+        )
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        return _topk_table(t, "__g", order_col, k, tie_cols, descending).drop_columns(
+            ["__g"]
+        )
+
+    return pruned.groupby("__g").map_groups(fold, batch_format="pyarrow")
 
 
 def grouped_sum_count(ds, key: str, value_col: str):

@@ -120,6 +120,7 @@ PARITY_QUERIES = [
     "filter_nonempty",
     "stats_minmax",
     "compact_scan",
+    "top_dup_urls",
     "pruned_scan",
     "html_extract",
 ]

@@ -350,3 +350,33 @@ def test_grouped_topk_ascending_and_empty(ray_session):
         ds.filter(lambda r: False), "k", "v", 1, tie_cols=("id",)
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_global_topk_and_group_count_ds(ray_session):
+    """global_topk == ORDER BY n DESC, k ASC LIMIT 3 over the streaming
+    grouped count (NULL key one group, ties broken by key, int64 counts
+    exact)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from engine.aggregates import global_topk, group_count_ds
+
+    keys = (["a"] * 7 + ["b"] * 5 + ["c"] * 5 + [None] * 3 + ["d"]) * 4
+    df = pd.DataFrame({"k": pd.array(keys, dtype=object)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    counts = group_count_ds(ds, "k")
+    got = global_topk(counts, "n", 3, tie_cols=("k",)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY n DESC, k LIMIT 3"
+    ).fetchdf()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)

@@ -819,10 +819,7 @@ def oracle_sql() -> dict[str, str]:
     # corpus containing them. Verified char-for-char against
     # re.match(r"\s") over the BMP in
     # tests/test_entry_contract.py::test_oracle_ws_class_is_python_s.
-    pys = (
-        r"\t\n\x0b\f\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
-        r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
-    )
+    from engine.textstats import PY_WS_RE2 as pys  # ONE canonical class
     # engine text kernels fill NULL text with '' (pc.fill_null) before
     # counting -- the oracles must coalesce the same way
     txt = "coalesce(text, '')"

@@ -92,19 +92,28 @@ def restore_null_key(agg: pd.DataFrame, col: str) -> pd.DataFrame:
     return agg.drop(columns="__isnull")
 
 
-def group_count_ds(ds, col: str, out_col: str = "n"):
-    """Grouped ``count(*)`` tolerating NULL keys, returned as a
-    STREAMING Dataset (col, out_col) with the NULL key restored
-    Arrow-side -- the scale path when the key cardinality is too high
-    to land on the driver (e.g. per-url counts). Arrow pre-aggregation
-    per batch (combiner: rows shuffled = O(keys x batches))."""
+def _count_partial(col: str):
+    """The ONE per-batch null-safe grouped-count combiner shared by the
+    Dataset and driver grouped-count paths (they differ only in how the
+    NULL key is restored)."""
 
     def partial(t: pa.Table) -> pa.Table:
         filled, isnull = null_safe_key(t.column(col))
         comp = pa.table({col: filled, "__isnull": isnull})
         return comp.group_by([col, "__isnull"]).aggregate([([], "count_all")])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial
+
+
+def group_count_ds(ds, col: str, out_col: str = "n"):
+    """Grouped ``count(*)`` tolerating NULL keys, returned as a
+    STREAMING Dataset (col, out_col) with the NULL key restored
+    Arrow-side -- the scale path when the key cardinality is too high
+    to land on the driver (e.g. per-url counts). Arrow pre-aggregation
+    per batch (combiner: rows shuffled = O(keys x batches))."""
+    parts = ds.map_batches(
+        _count_partial(col), batch_format="pyarrow", zero_copy_batch=True
+    )
     agg = parts.groupby([col, "__isnull"]).sum("count_all")
 
     def restore(t: pa.Table) -> pa.Table:
@@ -127,13 +136,9 @@ def group_count_null_safe(ds, col: str, out_col: str = "n") -> pd.DataFrame:
     int64 key column would float through the driver ``to_pandas``
     (2^53 corruption); the composite rides to the driver and
     ``restore_null_key`` restores through object dtype instead."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        filled, isnull = null_safe_key(t.column(col))
-        comp = pa.table({col: filled, "__isnull": isnull})
-        return comp.group_by([col, "__isnull"]).aggregate([([], "count_all")])
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = ds.map_batches(
+        _count_partial(col), batch_format="pyarrow", zero_copy_batch=True
+    )
     agg = parts.groupby([col, "__isnull"]).sum("count_all").to_pandas()
     if col not in agg.columns:  # empty input: Ray drops empty blocks
         return pd.DataFrame({col: pd.Series(dtype=object), out_col: pd.Series(dtype="int64")})
@@ -157,9 +162,11 @@ def _topk_table(
     ``row_number() OVER (PARTITION BY key ORDER BY order_col
     [DESC] NULLS LAST, tie_cols ASC NULLS LAST) <= k`` with NULL keys
     forming one partition (DuckDB's default null order is NULLS LAST
-    in both directions)."""
+    in both directions). Returns (pruned table, null-safe-filled key of
+    the pruned rows) so callers that bucket-hash afterwards don't pay
+    the composite encode twice."""
     if t.num_rows == 0:
-        return t
+        return t, t.column(key)
     filled, isnull = null_safe_key(t.column(key))
     tmp = t.append_column("__k", filled).append_column("__n", isnull)
     order = "descending" if descending else "ascending"
@@ -181,7 +188,8 @@ def _topk_table(
     starts = np.flatnonzero(change)
     seg = np.cumsum(change) - 1
     rank = np.arange(len(codes), dtype=np.int64) - starts[seg]
-    return t.take(pa.array(idx_np[rank < k]))
+    kept = pa.array(idx_np[rank < k])
+    return t.take(kept), pc.take(filled, kept)
 
 
 def grouped_topk(
@@ -206,10 +214,10 @@ def grouped_topk(
     tie_cols = tuple(tie_cols)
 
     def partial(t: pa.Table) -> pa.Table:
-        t = _topk_table(t, key, order_col, k, tie_cols, descending)
+        t, filled = _topk_table(t, key, order_col, k, tie_cols, descending)
         if t.num_rows == 0:
             return t.append_column("__bucket", pa.array([], type=pa.int64()))
-        h = hash64_keys(null_safe_key(t.column(key))[0])
+        h = hash64_keys(filled)
         return t.append_column(
             "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
@@ -219,7 +227,7 @@ def grouped_topk(
     def fold(t: pa.Table) -> pa.Table:
         return _topk_table(
             t.drop_columns(["__bucket"]), key, order_col, k, tie_cols, descending
-        )
+        )[0]
 
     return pruned.groupby("__bucket").map_groups(fold, batch_format="pyarrow")
 
@@ -236,14 +244,14 @@ def global_topk(ds, order_col: str, k: int, tie_cols: tuple[str, ...] = (),
         return _topk_table(
             t.append_column("__g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
             "__g", order_col, k, tie_cols, descending,
-        )
+        )[0]
 
     pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def fold(t: pa.Table) -> pa.Table:
-        return _topk_table(t, "__g", order_col, k, tie_cols, descending).drop_columns(
-            ["__g"]
-        )
+        return _topk_table(t, "__g", order_col, k, tie_cols, descending)[
+            0
+        ].drop_columns(["__g"])
 
     return pruned.groupby("__g").map_groups(fold, batch_format="pyarrow")
 

@@ -14,21 +14,32 @@ alternative used here streams the data a small constant number of
 times and moves only per-batch summaries:
 
   pass 1  count non-NULL values; per-batch strided *sorted* sample of
-          candidate splitters (evenly spaced batch quantiles), thinned
-          through one map_batches fold so the driver never holds
-          O(batches) lists;
+          candidate splitters (evenly spaced batch quantiles). The
+          driver merges the per-batch samples as a STREAM
+          (``iter_batches``), folding into a running <=cap unique
+          array -- peak driver memory is O(cap + stream batch), not
+          O(batches x per_batch);
   pass 2  one histogram pass: every value maps to a candidate interval
           via ``np.searchsorted`` (vectorized); per-batch nonzero
-          (interval, count) partials fold through a Ray groupby -- the
-          exchange moves O(intervals x batches) tiny rows;
-  pass 3  fetch ONLY the bracket intervals containing the target ranks
+          (interval, count, eq-count) partials fold through a Ray
+          groupby -- the exchange moves O(intervals x batches) tiny
+          rows. The eq-count records how many values EQUAL the
+          interval's lower candidate: since candidates are actual data
+          values, heavy ties concentrate ON candidates, and a rank that
+          lands inside an eq run is answered directly from the
+          candidate -- no data fetched at all;
+  pass 3  fetch ONLY the strict interiors (values equal to no
+          candidate) of the intervals still holding unresolved ranks
           (expected size ~ n / n_candidates per bracket) and select the
           exact rank offsets driver-side.
 
-If skew makes a bracket exceed ``bracket_limit``, extra splitters are
-sampled from inside the oversized intervals and pass 2 repeats -- each
-refinement shrinks brackets geometrically, so the number of passes is
-O(log_S n) with S candidates (2-3 passes at 100 TB).
+If skew makes an interior exceed ``bracket_limit``, extra splitters are
+sampled from inside the oversized intervals (per-batch strided samples,
+streamed -- never the bracket itself) and pass 2 repeats; each
+refinement shrinks interiors geometrically, so the number of passes is
+O(log_S n) with S candidates (2-3 passes at 100 TB). Pure ties can
+never force a refinement or a fetch: they resolve through the eq-count
+path.
 
 NaN handling matches DuckDB ordering: NaN sorts after every number
 (``np.searchsorted`` places NaN past every finite candidate and
@@ -53,9 +64,32 @@ def _valid_numpy(arr) -> np.ndarray:
     return arr.drop_null().to_numpy(zero_copy_only=False)
 
 
+def _stream_merge_samples(parts, cap: int) -> tuple[int, np.ndarray]:
+    """Fold (n, cands-list) partial rows into (total_n, <=cap unique
+    sorted candidates) by STREAMING them through the driver -- a
+    map_batches 'thin' stage would fuse into the producing task and see
+    one row at a time (review finding), so the fold lives here, where
+    the running array keeps the bound honest."""
+    n = 0
+    u: np.ndarray | None = None
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        flat = b.column("cands").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        if len(flat) == 0:
+            continue
+        u = np.unique(flat) if u is None or len(u) == 0 else np.unique(
+            np.concatenate([u, flat])
+        )
+        if len(u) > cap:
+            u = u[:: len(u) // cap + 1]
+    return n, (u if u is not None else np.array([]))
+
+
 def _candidates(ds, col: str, per_batch: int, cap: int) -> tuple[int, np.ndarray]:
-    """Pass 1: total non-NULL count + a thinned, sorted, deduplicated
-    global candidate array (<= cap values)."""
+    """Pass 1: total non-NULL count + the streamed-merged candidate
+    splitter array."""
 
     def partial(t: pa.Table) -> pa.Table:
         vt = t.schema.field(col).type
@@ -64,7 +98,7 @@ def _candidates(ds, col: str, per_batch: int, cap: int) -> tuple[int, np.ndarray
         if n:
             s = np.sort(v)
             step = max(1, n // per_batch)
-            sample = s[:: step]
+            sample = s[::step]
         else:
             sample = v
         return pa.table(
@@ -77,39 +111,20 @@ def _candidates(ds, col: str, per_batch: int, cap: int) -> tuple[int, np.ndarray
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-
-    def thin(t: pa.Table) -> pa.Table:
-        lt = t.schema.field("cands").type
-        ns = t.column("n").to_numpy(zero_copy_only=False)
-        flat = t.column("cands").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        u = np.unique(flat)  # sorted
-        if len(u) > cap:
-            u = u[:: len(u) // cap + 1]
-        return pa.table(
-            {
-                "n": pa.array([int(ns.sum())], type=pa.int64()),
-                "cands": pa.array([u.tolist()], type=lt),
-            }
-        )
-
-    # one fold level bounds the driver at O(fold_blocks x cap), not
-    # O(batches x per_batch)
-    folded = parts.map_batches(thin, batch_format="pyarrow").to_pandas()
-    if folded.empty:
-        return 0, np.array([])
-    n = int(folded["n"].sum())
-    flat = np.concatenate([np.asarray(c) for c in folded["cands"]]) if len(folded) else np.array([])
-    u = np.unique(flat)
-    if len(u) > cap:
-        u = u[:: len(u) // cap + 1]
-    return n, u
+    return _stream_merge_samples(parts, cap)
 
 
-def _interval_counts(ds, col: str, cands: np.ndarray) -> np.ndarray:
-    """Pass 2: count of values per candidate interval
-    (id = #{cands <= v}, ids 0..len(cands))."""
+def _ids(c: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interval id (= #candidates <= v, so values equal to candidate
+    ``c[i-1]`` sit at the BOTTOM of interval i) and the left-side id
+    (differs exactly for values equal to a candidate)."""
+    return np.searchsorted(c, v, side="right"), np.searchsorted(c, v, side="left")
+
+
+def _interval_counts(ds, col: str, cands: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pass 2: per-interval total counts AND eq-counts (values equal to
+    the interval's lower candidate). Returns (counts[B+1], eqb[B+1])
+    with eqb[0] = 0."""
     import ray
 
     ref = ray.put(cands)
@@ -117,31 +132,38 @@ def _interval_counts(ds, col: str, cands: np.ndarray) -> np.ndarray:
     def hist(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
         v = _valid_numpy(t.column(col))
-        ids = np.searchsorted(c, v, side="right")
-        cnt = np.bincount(ids, minlength=len(c) + 1)
-        nz = np.flatnonzero(cnt)
+        ids_r, ids_l = _ids(c, v)
+        cnt = np.bincount(ids_r, minlength=len(c) + 1)
+        eqm = ids_l < ids_r  # v == c[ids_l]; its interval id is ids_l + 1
+        eqb = np.bincount(ids_l[eqm] + 1, minlength=len(c) + 1)
+        nz = np.flatnonzero(cnt | eqb)
         return pa.table(
             {
                 "id": pa.array(nz.astype(np.int64)),
                 "cnt": pa.array(cnt[nz].astype(np.int64)),
+                "eqb": pa.array(eqb[nz].astype(np.int64)),
             }
         )
 
     agg = (
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("id")
-        .sum("cnt")
+        .sum(["cnt", "eqb"])
         .to_pandas()
     )
-    out = np.zeros(len(cands) + 1, dtype=np.int64)
+    counts = np.zeros(len(cands) + 1, dtype=np.int64)
+    eqb = np.zeros(len(cands) + 1, dtype=np.int64)
     if "id" in agg.columns and len(agg):
-        out[agg["id"].to_numpy()] = agg["sum(cnt)"].to_numpy()
-    return out
+        idx = agg["id"].to_numpy()
+        counts[idx] = agg["sum(cnt)"].to_numpy()
+        eqb[idx] = agg["sum(eqb)"].to_numpy()
+    return counts, eqb
 
 
-def _bracket_values(ds, col: str, cands: np.ndarray, needed: np.ndarray) -> dict:
-    """Pass 3: values of the needed intervals, one dict id -> sorted
-    numpy array. Bounded by the (refined) bracket sizes."""
+def _interior_values(ds, col: str, cands: np.ndarray, needed: np.ndarray) -> dict:
+    """Pass 3: STRICT-INTERIOR values (equal to no candidate) of the
+    needed intervals, one dict id -> sorted numpy array. Candidate-tie
+    mass never ships: it is already resolved from the eq-counts."""
     import ray
 
     cref, nref = ray.put(cands), ray.put(np.sort(needed))
@@ -149,9 +171,9 @@ def _bracket_values(ds, col: str, cands: np.ndarray, needed: np.ndarray) -> dict
     def pick(t: pa.Table) -> pa.Table:
         c, nd = ray.get(cref), ray.get(nref)
         v = _valid_numpy(t.column(col))
-        ids = np.searchsorted(c, v, side="right")
-        m = np.isin(ids, nd)
-        return pa.table({"id": pa.array(ids[m].astype(np.int64)), "v": pa.array(v[m])})
+        ids_r, ids_l = _ids(c, v)
+        m = np.isin(ids_r, nd) & (ids_l == ids_r)
+        return pa.table({"id": pa.array(ids_r[m].astype(np.int64)), "v": pa.array(v[m])})
 
     got = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out: dict[int, np.ndarray] = {}
@@ -160,6 +182,37 @@ def _bracket_values(ds, col: str, cands: np.ndarray, needed: np.ndarray) -> dict
     for i, g in got.groupby("id"):
         out[int(i)] = np.sort(g["v"].to_numpy())
     return out
+
+
+def _interior_samples(
+    ds, col: str, cands: np.ndarray, big: np.ndarray, per_batch: int = 64
+) -> np.ndarray:
+    """Refinement sampler: per-batch strided sorted samples of the
+    strict interiors of the oversized intervals, streamed to the driver
+    (O(batches x per_batch) flowing, O(cap) resident) -- the bracket
+    itself is never materialized anywhere."""
+    import ray
+
+    cref, bref = ray.put(cands), ray.put(np.sort(big))
+
+    def sample(t: pa.Table) -> pa.Table:
+        vt = t.schema.field(col).type
+        c, bd = ray.get(cref), ray.get(bref)
+        v = _valid_numpy(t.column(col))
+        ids_r, ids_l = _ids(c, v)
+        w = v[np.isin(ids_r, bd) & (ids_l == ids_r)]
+        if len(w):
+            w = np.sort(w)[:: max(1, len(w) // per_batch)]
+        return pa.table(
+            {
+                "n": pa.array([0], type=pa.int64()),
+                "cands": pa.array([w.tolist()], type=pa.list_(vt)),
+            }
+        )
+
+    parts = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    _, extra = _stream_merge_samples(parts, 65536)
+    return extra
 
 
 def _select_ranks(
@@ -178,36 +231,36 @@ def _select_ranks(
     ranks = [min(max(r, 1), n) for r in ranks]
     refines = 0
     while True:
-        counts = _interval_counts(ds, col, cands)
+        counts, eqb = _interval_counts(ds, col, cands)
         cum = np.cumsum(counts)
-        target = {r: int(np.searchsorted(cum, r, side="left")) for r in ranks}
-        needed = np.unique(list(target.values()))
-        big = needed[counts[needed] > bracket_limit]
-        if len(big) == 0 or refines >= max_refine:
-            break
-        # skewed bracket: split every oversized needed interval by
-        # sampling extra splitters from inside it (one extra pass),
-        # then re-histogram -- brackets shrink geometrically
-        refines += 1
-        vals = _bracket_values(ds, col, cands, big)
-        extra = []
-        for i in big:
-            v = vals.get(int(i))
-            if v is not None and len(v):
-                step = max(1, len(v) // 64)
-                extra.append(v[::step])
-        if not extra:
-            break
-        new = np.unique(np.concatenate([cands, *extra]))
-        if len(new) == len(cands):  # no new splitters: one giant tie
-            break
-        cands = new
-    vals = _bracket_values(ds, col, cands, needed)
-    out = {}
-    for r in ranks:
-        i = target[r]
-        before = int(cum[i - 1]) if i > 0 else 0
-        out[r] = vals[i][r - before - 1].item()
+        resolved: dict[int, object] = {}
+        residual: dict[int, tuple[int, int]] = {}
+        for r in ranks:
+            i = int(np.searchsorted(cum, r, side="left"))
+            offset = r - (int(cum[i - 1]) if i > 0 else 0)
+            if i >= 1 and offset <= eqb[i]:
+                # the rank lands in the run of values equal to the
+                # interval's lower candidate: answer with no fetch
+                resolved[r] = cands[i - 1].item()
+            else:
+                residual[r] = (i, offset - int(eqb[i]))
+        if not residual:
+            return resolved
+        needed = np.unique([i for i, _ in residual.values()])
+        interior = counts[needed] - eqb[needed]
+        big = needed[interior > bracket_limit]
+        if len(big) and refines < max_refine:
+            extra = _interior_samples(ds, col, cands, big)
+            new = np.unique(np.concatenate([cands, extra])) if len(extra) else cands
+            if len(new) > len(cands):
+                cands = new
+                refines += 1
+                continue
+        break
+    vals = _interior_values(ds, col, cands, needed)
+    out = dict(resolved)
+    for r, (i, off) in residual.items():
+        out[r] = vals[i][off - 1].item()
     return out
 
 

@@ -23,14 +23,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-#: Python-``\s`` as an explicit RE2 class (RE2's own ``\s`` is ASCII
-#: only). Same 29-codepoint set the text oracles embed, spelled with
-#: RE2 ``\x{...}`` escapes because this string is consumed by RE2 on
-#: both sides (Arrow and DuckDB), never by Python ``re``.
-RE2_WS = (
-    r"\t\n\x0B\f\r\x1C-\x1F \x{0085}\x{00A0}\x{1680}"
-    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
-)
+from engine.textstats import PY_WS_RE2
+
+#: Python-``\s`` as an explicit RE2 class -- imported from the ONE
+#: canonical definition (engine.textstats.PY_WS_RE2); re-exported under
+#: the local name existing consumers use.
+RE2_WS = PY_WS_RE2
 
 #: (name, RE2 pattern, replacement) applied in ORDER.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (

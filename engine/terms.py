@@ -43,8 +43,9 @@ def term_counts(ds, text_col: str = "text", lang_col: str = "lang"):
         # lang id per token: repeat each row's lang by its token count
         reps = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
         filled, isnull = null_safe_key(t.column(lang_col))
-        lang_rep = pc.take(filled, pa.array(np.repeat(np.arange(len(t)), reps)))
-        null_rep = pc.take(isnull, pa.array(np.repeat(np.arange(len(t)), reps)))
+        idx = pa.array(np.repeat(np.arange(len(t)), reps))
+        lang_rep = pc.take(filled, idx)
+        null_rep = pc.take(isnull, idx)
         # split() emits '' at run boundaries; drop those and stopwords
         keep = pc.and_(
             pc.not_equal(flat, ""), pc.invert(pc.is_in(flat, value_set=stop))

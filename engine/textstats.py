@@ -26,6 +26,21 @@ import pandas as pd
 import pyarrow as pa
 
 TOKEN_PATTERN = r"\S+"
+
+#: Python-``\s`` as an explicit RE2 character class -- THE canonical
+#: definition (single source of truth). RE2's own ``\s`` is ASCII-only;
+#: every RE2 consumer on either side of an oracle (Arrow kernels,
+#: DuckDB SQL built by ``__ray_entry__.oracle_sql``, ``engine.redact``,
+#: ``engine.terms``) must import THIS constant, never restate it --
+#: CLAUDE.md oracle-alignment invariant. Spelled with ``\x{...}``
+#: escapes (RE2 syntax, not Python ``re``); verified char-for-char
+#: equal to Python ``\s`` over the BMP by
+#: tests/test_entry_contract.py::test_oracle_ws_class_is_python_s,
+#: which extracts it back out of the generated oracle SQL.
+PY_WS_RE2 = (
+    r"\t\n\x0B\f\r\x1C-\x1F \x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+)
 WORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 ALPHA_PATTERN = r"[A-Za-z]"
 PUNCT_PATTERN = r"[^A-Za-z0-9\s]"

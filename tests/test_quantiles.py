@@ -78,3 +78,20 @@ def test_quantile_disc_rank_convention(ray_session, n, q):
     df = pd.DataFrame({"v": np.arange(1, n + 1, dtype=np.int64)})
     got = quantile_disc(ray.data.from_pandas(df), "v", [q])
     assert got == [_duck(df, "quantile_disc", [q])[0]]
+
+
+def test_quantile_pure_tie_resolves_via_eq_counts(ray_session):
+    """A tie run far bigger than bracket_limit must resolve from the
+    candidate-equality counts (no interior fetch can cover it): the
+    median of 60k identical values among noise is exact even with
+    bracket_limit=10."""
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"v": np.concatenate([np.full(60000, 7.0), rng.normal(0, 1, 5000)])}
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = quantile_disc(
+        ds, "v", [0.25, 0.5, 0.9], candidates_per_batch=8, bracket_limit=10
+    )
+    want = _duck(df, "quantile_disc", [0.25, 0.5, 0.9])
+    assert got == list(want)

@@ -451,10 +451,7 @@ def test_top_terms_per_lang_duckdb_parity(ray_session):
     )
     ds = ray.data.from_pandas(df).repartition(7)
     got = top_terms_per_lang(ds, k=3).to_pandas()
-    pys = (
-        r"\t\n\x0b\f\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
-        r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
-    )
+    from engine.textstats import PY_WS_RE2 as pys
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
     con = duckdb.connect()
     con.register("documents", df)

@@ -299,6 +299,21 @@ def _q_price_quantiles(sf_dir: str):
     )
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Per-key exact percentiles (quantile_disc ... GROUP BY): the
+    keyed multi-pass selection (engine.quantiles.grouped_quantile_disc)
+    -- no per-key sort, no driver materialization of values."""
+    import ray.data
+    from engine.quantiles import grouped_quantile_disc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    out = grouped_quantile_disc(ds, "lang", "n_chars", [0.5, 0.9])
+    out = out.rename(columns={"q_0.5": "p50", "q_0.9": "p90"})
+    return out[["lang", "p50", "p90"]]
+
+
 def _q_redact_pii(sf_dir: str):
     """PII redaction (emails/URLs/IPs/phones) -- engine.redact applies
     the shared RE2 pattern table vectorized per batch; the oracle
@@ -758,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "lineitem_pricing": _q_lineitem_pricing,
         "price_quantiles": _q_price_quantiles,
+        "length_quantiles_per_lang": _q_length_quantiles,
         "salted_lang_counts": _q_salted_lang_counts,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1126,6 +1142,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(quantile_disc(l_extendedprice, 0.25), 2) AS q25, "
             "round(quantile_disc(l_extendedprice, 0.50), 2) AS q50, "
             "round(quantile_disc(l_extendedprice, 0.75), 2) AS q75 FROM lineitem"
+        ),
+        "length_quantiles_per_lang": (
+            "SELECT lang, quantile_disc(n_chars, 0.5) AS p50, "
+            "quantile_disc(n_chars, 0.9) AS p90 FROM documents GROUP BY lang"
         ),
         "salted_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         # NULL-ts events are explicitly unmatched: the engine applies

@@ -313,3 +313,316 @@ def quantile_cont(
         a, b = float(got[r_lo]), float(got[r_hi])
         out.append(a + frac * (b - a))
     return out
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles (low-cardinality keys: per-lang percentiles etc.)
+# ---------------------------------------------------------------------------
+
+def _batch_key_groups(t: pa.Table, key: str, col: str):
+    """Yield ((filled_key_value, isnull), native-dtype numpy values)
+    per unique key in the batch -- keys whose rows hold no valid value
+    still yield (with an empty array), so all-NULL groups surface.
+    Arrow filter per unique key: O(uniques) kernel calls, vectorized
+    inside; values never float through pandas (null-bearing int64
+    stays int64)."""
+    from engine.aggregates import null_safe_key
+
+    filled, isnull = null_safe_key(t.column(key))
+    codes = pc.dictionary_encode(filled)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    dictionary = codes.dictionary
+    idx = codes.indices.to_numpy(zero_copy_only=False)
+    nl = isnull.to_numpy(zero_copy_only=False)
+    comp = idx * 2 + nl
+    vals = t.column(col)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    for c in np.unique(comp):
+        m = pa.array(comp == c)
+        kv = dictionary[int(c) // 2].as_py()
+        yield (kv, int(c) % 2), _valid_numpy(vals.filter(m))
+
+
+def _grouped_state(ds, key: str, col: str, per_batch: int, cap: int):
+    """Keyed pass 1: {(key_value, isnull): (n, sorted unique candidate
+    array)} merged by streaming per-batch per-key samples through the
+    driver (same bound as _stream_merge_samples, per key)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key).type
+        vt = t.schema.field(col).type
+        ks, nulls, ns, cands = [], [], [], []
+        for (kv, knull), v in _batch_key_groups(t, key, col):
+            if len(v):
+                s = np.sort(v)
+                sample = s[:: max(1, len(v) // per_batch)]
+            else:
+                sample = v
+            ks.append(kv)
+            nulls.append(knull)
+            ns.append(len(v))
+            cands.append(sample.tolist())
+        return pa.table(
+            {
+                "k": pa.array(ks, type=kt),
+                "knull": pa.array(nulls, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+                "cands": pa.array(cands, type=pa.list_(vt)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    state: dict[tuple, list] = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        kcol = b.column("k")
+        ncol = b.column("knull").to_numpy(zero_copy_only=False)
+        cnts = b.column("n").to_numpy(zero_copy_only=False)
+        lists = b.column("cands").combine_chunks()
+        for j in range(len(b)):
+            kk = (kcol[j].as_py(), int(ncol[j]))
+            flat = np.asarray(lists[j].as_py() if False else lists[j].values.to_numpy(zero_copy_only=False))
+            ent = state.setdefault(kk, [0, None])
+            ent[0] += int(cnts[j])
+            if len(flat):
+                u = flat if ent[1] is None else np.concatenate([ent[1], flat])
+                u = np.unique(u)
+                if len(u) > cap:
+                    u = u[:: len(u) // cap + 1]
+                ent[1] = u
+    return {
+        k: (n, c if c is not None else np.array([])) for k, (n, c) in state.items()
+    }
+
+
+def grouped_quantile_disc(
+    ds,
+    key: str,
+    col: str,
+    qs,
+    *,
+    candidates_per_batch: int = 1024,
+    max_candidates: int = 8192,
+    bracket_limit: int = 4_000_000,
+    max_refine: int = 4,
+):
+    """Exact per-key discrete quantiles (``quantile_disc ... GROUP BY
+    key`` semantics: NULL key is one group, NULL values excluded, a key
+    whose values are all NULL reports NULL quantiles). Same multi-pass
+    selection as :func:`quantile_disc` with a key dimension: per-key
+    candidates (pass 1), one (key, interval) histogram pass with
+    eq-counts, interior-only fetches, keyed skew refinement. Designed
+    for low-cardinality keys (langs, event types): driver state is
+    O(keys x candidates).
+
+    Returns a pandas DataFrame ``(key, q_<q>...)`` with the NULL key
+    restored through object dtype."""
+    import pandas as pd
+    import ray
+
+    qs = list(qs)
+    state = _grouped_state(ds, key, col, candidates_per_batch, max_candidates)
+    if not state:
+        return pd.DataFrame(
+            {key: pd.Series(dtype=object),
+             **{f"q_{q}": pd.Series(dtype="float64") for q in qs}}
+        )
+    keys = sorted(state, key=lambda kk: (kk[1], str(kk[0])))
+    kidx = {kk: i for i, kk in enumerate(keys)}
+    # per-key target ranks and resolution state
+    ranks = {
+        kk: [min(max(int(np.ceil(q * state[kk][0])), 1), state[kk][0])
+             for q in qs] if state[kk][0] else []
+        for kk in keys
+    }
+    out_vals: dict[tuple, dict[int, object]] = {kk: {} for kk in keys}
+
+    def _broadcast():
+        offs = np.zeros(len(keys) + 1, dtype=np.int64)
+        for i, kk in enumerate(keys):
+            offs[i + 1] = offs[i] + len(state[kk][1])
+        concat = (
+            np.concatenate([state[kk][1] for kk in keys])
+            if offs[-1]
+            else np.array([])
+        )
+        return ray.put((dict(kidx), concat, offs))
+
+    refines = 0
+    while True:
+        ref = _broadcast()
+
+        def hist(t: pa.Table) -> pa.Table:
+            km, concat, offs = ray.get(ref)
+            rows_k, rows_id, rows_cnt, rows_eqb = [], [], [], []
+            for kk, v in _batch_key_groups(t, key, col):
+                i = km.get(kk)
+                if i is None or not len(v):
+                    continue
+                c = concat[offs[i]: offs[i + 1]]
+                ids_r, ids_l = _ids(c, v)
+                cnt = np.bincount(ids_r, minlength=len(c) + 1)
+                eqm = ids_l < ids_r
+                eqb = np.bincount(ids_l[eqm] + 1, minlength=len(c) + 1)
+                nz = np.flatnonzero(cnt | eqb)
+                rows_k.append(np.full(len(nz), i, dtype=np.int64))
+                rows_id.append(nz.astype(np.int64))
+                rows_cnt.append(cnt[nz].astype(np.int64))
+                rows_eqb.append(eqb[nz].astype(np.int64))
+            if not rows_k:
+                return pa.table(
+                    {"ki": pa.array([], type=pa.int64()),
+                     "id": pa.array([], type=pa.int64()),
+                     "cnt": pa.array([], type=pa.int64()),
+                     "eqb": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"ki": pa.array(np.concatenate(rows_k)),
+                 "id": pa.array(np.concatenate(rows_id)),
+                 "cnt": pa.array(np.concatenate(rows_cnt)),
+                 "eqb": pa.array(np.concatenate(rows_eqb))}
+            )
+
+        agg = (
+            ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["ki", "id"])
+            .sum(["cnt", "eqb"])
+            .to_pandas()
+        )
+        # per-key selection from the histogram
+        residual: dict[tuple, dict[int, tuple[int, int]]] = {}
+        big_pairs: list[tuple[int, int]] = []
+        for kk in keys:
+            n_k, cands_k = state[kk]
+            if not n_k:
+                continue
+            counts = np.zeros(len(cands_k) + 1, dtype=np.int64)
+            eqb = np.zeros(len(cands_k) + 1, dtype=np.int64)
+            sub = agg[agg["ki"] == kidx[kk]] if len(agg) else agg
+            if len(sub):
+                counts[sub["id"].to_numpy()] = sub["sum(cnt)"].to_numpy()
+                eqb[sub["id"].to_numpy()] = sub["sum(eqb)"].to_numpy()
+            cum = np.cumsum(counts)
+            for r in ranks[kk]:
+                if r in out_vals[kk]:
+                    continue
+                i = int(np.searchsorted(cum, r, side="left"))
+                offset = r - (int(cum[i - 1]) if i > 0 else 0)
+                if i >= 1 and offset <= eqb[i]:
+                    out_vals[kk][r] = cands_k[i - 1].item()
+                else:
+                    residual.setdefault(kk, {})[r] = (i, offset - int(eqb[i]))
+                    if counts[i] - eqb[i] > bracket_limit:
+                        big_pairs.append((kidx[kk], i))
+        if not residual:
+            break
+        if big_pairs and refines < max_refine:
+            bref = ray.put(set(big_pairs))
+            cref = _broadcast()
+
+            def sample(t: pa.Table) -> pa.Table:
+                pairs = ray.get(bref)
+                km, concat, offs = ray.get(cref)
+                ks, lists = [], []
+                kt = t.schema.field(key).type  # noqa: F841 - keyed by ki
+                vt = t.schema.field(col).type
+                for kk, v in _batch_key_groups(t, key, col):
+                    i = km.get(kk)
+                    if i is None or not len(v):
+                        continue
+                    c = concat[offs[i]: offs[i + 1]]
+                    ids_r, ids_l = _ids(c, v)
+                    strict = ids_l == ids_r
+                    for _, iid in [p for p in pairs if p[0] == i]:
+                        w = v[strict & (ids_r == iid)]
+                        if len(w):
+                            w = np.sort(w)[:: max(1, len(w) // 64)]
+                            ks.append(i)
+                            lists.append(w.tolist())
+                return pa.table(
+                    {"ki": pa.array(ks, type=pa.int64()),
+                     "cands": pa.array(lists, type=pa.list_(vt))}
+                )
+
+            parts = ds.map_batches(
+                sample, batch_format="pyarrow", zero_copy_batch=True
+            )
+            grew = False
+            for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+                kis = b.column("ki").to_numpy(zero_copy_only=False)
+                lists = b.column("cands").combine_chunks()
+                for j in range(len(b)):
+                    kk = keys[int(kis[j])]
+                    flat = lists[j].values.to_numpy(zero_copy_only=False)
+                    n_k, cands_k = state[kk]
+                    u = np.unique(np.concatenate([cands_k, flat]))
+                    if len(u) > len(cands_k):
+                        state[kk] = (n_k, u)
+                        grew = True
+            if grew:
+                refines += 1
+                continue
+        break
+    # interior fetch for the residual ranks
+    if residual:
+        need = {
+            (kidx[kk], i) for kk, rr in residual.items() for (i, _off) in rr.values()
+        }
+        nref = ray.put(need)
+        cref = _broadcast()
+
+        def pick(t: pa.Table) -> pa.Table:
+            pairs = ray.get(nref)
+            km, concat, offs = ray.get(cref)
+            ks, ids, vs = [], [], []
+            vt = t.schema.field(col).type
+            for kk, v in _batch_key_groups(t, key, col):
+                i = km.get(kk)
+                if i is None or not len(v):
+                    continue
+                c = concat[offs[i]: offs[i + 1]]
+                ids_r, ids_l = _ids(c, v)
+                strict = ids_l == ids_r
+                wanted = {iid for (ki2, iid) in pairs if ki2 == i}
+                if not wanted:
+                    continue
+                m = strict & np.isin(ids_r, np.array(sorted(wanted)))
+                ks.append(np.full(int(m.sum()), i, dtype=np.int64))
+                ids.append(ids_r[m].astype(np.int64))
+                vs.append(v[m])
+            if not ks:
+                return pa.table(
+                    {"ki": pa.array([], type=pa.int64()),
+                     "id": pa.array([], type=pa.int64()),
+                     "v": pa.array([], type=vt)}
+                )
+            return pa.table(
+                {"ki": pa.array(np.concatenate(ks)),
+                 "id": pa.array(np.concatenate(ids)),
+                 "v": pa.array(np.concatenate(vs))}
+            )
+
+        got = ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        grouped = {
+            (int(ki2), int(iid)): np.sort(g["v"].to_numpy())
+            for (ki2, iid), g in got.groupby(["ki", "id"])
+        } if len(got) else {}
+        for kk, rr in residual.items():
+            for r, (i, off) in rr.items():
+                out_vals[kk][r] = grouped[(kidx[kk], i)][off - 1].item()
+    # assemble the frame (NULL key restored via object dtype)
+    import pandas as pd
+
+    rows = []
+    for kk in keys:
+        kv = None if kk[1] else kk[0]
+        n_k = state[kk][0]
+        vals = [
+            out_vals[kk][min(max(int(np.ceil(q * n_k)), 1), n_k)] if n_k else None
+            for q in qs
+        ]
+        rows.append([kv, *vals])
+    return pd.DataFrame(rows, columns=[key, *[f"q_{q}" for q in qs]])

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 import ray.data
 
-from engine.quantiles import quantile_cont, quantile_disc
+from engine.quantiles import grouped_quantile_disc, quantile_cont, quantile_disc
 
 QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
 
@@ -95,3 +95,64 @@ def test_quantile_pure_tie_resolves_via_eq_counts(ray_session):
     )
     want = _duck(df, "quantile_disc", [0.25, 0.5, 0.9])
     assert got == list(want)
+
+
+def test_grouped_quantile_disc_duckdb_parity(ray_session):
+    """grouped_quantile_disc == quantile_disc ... GROUP BY key on a
+    fixture with a NULL key group, NULL values, one all-NULL-value key,
+    int64 values, and tiny per-batch samples."""
+    rng = np.random.default_rng(13)
+    n = 30000
+    lang = pd.array(
+        [None if i % 37 == 0 else f"l{i % 5}" for i in range(n)], dtype=object
+    )
+    v = pd.Series(rng.integers(0, 10000, n).astype("int64")).astype("Int64")
+    v[np.arange(n) % 41 == 0] = None
+    v[np.asarray(lang == "l3")] = None  # all-NULL-value key -> NULL quantiles
+    df = pd.DataFrame({"lang": lang, "v": v})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = grouped_quantile_disc(ds, "lang", "v", [0.5, 0.9], candidates_per_batch=16)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        'SELECT lang, quantile_disc(v, 0.5) AS "q_0.5", '
+        'quantile_disc(v, 0.9) AS "q_0.9" FROM t GROUP BY lang'
+    ).fetchdf()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_grouped_quantile_refine_and_ties(ray_session):
+    """Keyed skew refinement: one key holds a giant tie, another a
+    dense interior forced through bracket_limit=32; both exact."""
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "k": ["tie"] * 50000 + ["dense"] * 20000,
+            "v": np.concatenate([np.full(50000, 3.5), rng.normal(0, 1, 20000)]),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = grouped_quantile_disc(
+        ds, "k", "v", [0.5], candidates_per_batch=4, bracket_limit=32
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        'SELECT k, quantile_disc(v, 0.5) AS "q_0.5" FROM t GROUP BY k'
+    ).fetchdf()
+    g = got.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_grouped_quantile_empty(ray_session):
+    df = pd.DataFrame({"k": pd.Series(dtype=object), "v": pd.Series(dtype="float64")})
+    out = grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", [0.5])
+    assert len(out) == 0 and list(out.columns) == ["k", "q_0.5"]

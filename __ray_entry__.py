@@ -299,6 +299,21 @@ def _q_price_quantiles(sf_dir: str):
     )
 
 
+def _q_dedup_best_doc(sf_dir: str):
+    """Survivor-policy exact dedup: ONE canonical doc per duplicate
+    text group, chosen by quality (longest, then lowest id) rather than
+    min-id -- grouped_topk with k=1 over the text key (the partial
+    prune means full documents never concentrate anywhere)."""
+    import ray.data
+    from engine.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    out = grouped_topk(ds, "text", "n_chars", 1, tie_cols=("doc_id",))
+    return _schema_stable(out, doc_id="int64", text="object", n_chars="int64")
+
+
 def _q_length_quantiles(sf_dir: str):
     """Per-key exact percentiles (quantile_disc ... GROUP BY): the
     keyed multi-pass selection (engine.quantiles.grouped_quantile_disc)
@@ -756,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_scan": _q_zorder_scan,
         "hilbert_scan": _q_hilbert_scan,
         "exact_dedup": _q_exact_dedup,
+        "dedup_best_doc": _q_dedup_best_doc,
         "ann_topk": _q_ann_topk,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "token_stats": _q_token_stats,
@@ -1061,6 +1077,14 @@ def oracle_sql() -> dict[str, str]:
         "zorder_scan": pages_scan,
         "hilbert_scan": pages_scan,
         "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # survivor-policy dedup: quality-ranked canonical doc per text
+        # group (NULL text is one group, like exact_dedup)
+        "dedup_best_doc": (
+            "SELECT doc_id, text, n_chars FROM ("
+            "  SELECT doc_id, text, n_chars, row_number() OVER ("
+            "    PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn"
+            "  FROM documents) WHERE rn = 1"
+        ),
         "ann_topk": ann,
         "embed_dup_pairs": embed_pairs,
         # ivf_topk probes EVERY list (nprobe = n_centroids), where the

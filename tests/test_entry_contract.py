@@ -110,6 +110,7 @@ PARITY_QUERIES = [
     "redact_pii",
     "salted_lang_counts",
     "exact_dedup",
+    "dedup_best_doc",
     "minhash_pairs",
     "simhash_pairs",
     "lang_id",

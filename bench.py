@@ -259,6 +259,49 @@ def run_headline() -> dict:
     ).count()
     timings["ann_topk"] = round(time.perf_counter() - t0, 3)
 
+    # late-round-4 operator benches over the FULL expanded input (200k
+    # rows at the driver config) -- disabled during --scaling runs so
+    # the leg walls stay comparable with the banked record series
+    if os.environ.get("BENCH_EXTRA_OPS", "1") == "1":
+        import pyarrow as _pa3
+        import pyarrow.compute as _pc3
+
+        t0 = time.perf_counter()
+        from engine.terms import top_terms_per_lang
+
+        top_terms_per_lang(
+            ray.data.read_parquet(
+                in_dir, columns=["text", "lang"], override_num_blocks=64
+            ),
+            k=5,
+        ).count()
+        timings["top_terms"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        from engine.quantiles import quantile_disc
+
+        lens = ray.data.read_parquet(
+            in_dir, columns=["text"], override_num_blocks=64
+        ).map_batches(
+            lambda t: _pa3.table(
+                {"len": _pc3.utf8_length(_pc3.fill_null(t.column("text"), ""))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        quantile_disc(lens, "len", [0.5, 0.99])
+        timings["quantiles"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        from engine.redact import redact_text
+
+        redact_text(
+            ray.data.read_parquet(in_dir, columns=["text"], override_num_blocks=64)
+        ).map_batches(
+            lambda t: _pa3.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).sum("n")
+        timings["redact"] = round(time.perf_counter() - t0, 3)
+
     shutil.rmtree(work, ignore_errors=True)
     return {
         "metric": "maintenance rows compacted+clustered per sec (ingest+merge+compact+cluster+expire)",
@@ -329,6 +372,9 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **shared_env)
         env.setdefault("BENCH_EXPAND", str(expand))
+        # keep scaling legs comparable with the banked record series:
+        # the extra operator benches are headline-only
+        env.setdefault("BENCH_EXTRA_OPS", "0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

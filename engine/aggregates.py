@@ -73,6 +73,11 @@ def null_safe_key(arr):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     kt = arr.type
+    if pa.types.is_null(kt):
+        # a typeless all-NULL column (e.g. from_pandas of all-None
+        # object): one NULL group, int64 zero fill
+        z = pa.array(np.zeros(len(arr), dtype=np.int64))
+        return z, pa.array(np.ones(len(arr), dtype=np.int64))
     if pa.types.is_string(kt) or pa.types.is_large_string(kt):
         fill = pa.scalar("", type=kt)
     elif pa.types.is_binary(kt) or pa.types.is_large_binary(kt):

@@ -380,3 +380,54 @@ def test_global_topk_and_group_count_ds(ray_session):
         )
 
     pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_topk_kernel_hypothesis_vs_pandas():
+    """Property: the Arrow top-k prune kernel == the pandas
+    sort/groupby-head reference (row_number PARTITION BY ... ORDER BY v
+    DESC NULLS LAST, id) on arbitrary NULL-bearing frames."""
+    import pandas as pd
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.aggregates import _topk_table
+
+    rows = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "", "ç"])),
+            st.one_of(st.none(), st.integers(-3, 3)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(rows=rows, k=st.integers(1, 3))
+    def check(rows, k):
+        df = pd.DataFrame(
+            {
+                "kk": pd.array([r[0] for r in rows], dtype=object),
+                "v": pd.array([r[1] for r in rows], dtype="Int64"),
+                "id": range(len(rows)),
+            }
+        )
+        t = pa.Table.from_pandas(
+            df,
+            preserve_index=False,
+            schema=pa.schema(
+                [("kk", pa.string()), ("v", pa.int64()), ("id", pa.int64())]
+            ),
+        )
+        got = _topk_table(t, "kk", "v", k, ("id",), True)[0].to_pandas()
+        ref = (
+            df.sort_values(
+                ["v", "id"], ascending=[False, True], na_position="last",
+                kind="stable",
+            )
+            .groupby("kk", dropna=False, sort=False)
+            .head(k)
+        )
+        assert set(got["id"]) == set(ref["id"]), (df, got, ref)
+
+    check()

@@ -366,8 +366,13 @@ def exact_dedup_auto(
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# lower() with DuckDB/utf8proc semantics -- see engine.textstats
+from engine.textstats import sql_lower as _sql_lower  # noqa: E402
+from engine.textstats import sql_lower_list as _sql_lower_list  # noqa: E402
+
+
 def word_shingles(text: str, k: int = 3) -> List[str]:
-    toks = _TOKEN_RE.findall(text.lower())
+    toks = _TOKEN_RE.findall(_sql_lower(text))
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -425,7 +430,7 @@ def minhash_signatures_flat(texts, a: np.ndarray, b: np.ndarray, k: int = 3) -> 
     sigs = np.full((n, num_perm), int(_MERSENNE), dtype=np.uint64)
     if n == 0:
         return sigs
-    toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
+    toks_per = [_TOKEN_RE.findall(x) for x in _sql_lower_list(texts)]
     lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
     flat = [s for tk in toks_per for s in tk]
     if not flat:
@@ -517,7 +522,7 @@ class MinHasher:
 
     def _doc_signature(self, text: str) -> np.ndarray:
         """Reference per-doc path (kept as the parity seam for tests)."""
-        toks = _TOKEN_RE.findall((text or "").lower())
+        toks = _TOKEN_RE.findall(_sql_lower(text or ""))
         sh = shingle_hashes_from_tokens(_mix64(_crc32_array(toks)), self.k)
         return minhash_signature(sh, self.a, self.b)
 
@@ -1424,7 +1429,7 @@ def simhash_texts(texts, hasher: str = "fast") -> np.ndarray:
         if len(h) == 0:
             return sigs
     else:
-        toks_per = [_TOKEN_RE.findall((x or "").lower()) for x in texts]
+        toks_per = [_TOKEN_RE.findall(x) for x in _sql_lower_list(texts)]
         lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
         flat = [s for tk in toks_per for s in tk]
         n = len(texts)

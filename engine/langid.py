@@ -195,13 +195,21 @@ def _block_langid(texts):
                 confs[newly] = np.minimum(1.0, ratio[newly] * 4)
                 decided |= newly
 
-    joined_l = joined.lower()
+    # lower with DuckDB/utf8proc semantics (textstats.sql_lower): the
+    # lang_id oracle tokenizes lower(s), and Python str.lower diverges
+    # on İ (two codepoints, loses the 'in'/'it'/'is' profile hits the
+    # oracle finds in Turkish text) and Greek final sigma
+    from engine.textstats import sql_lower, sql_lower_list
+
+    joined_l = sql_lower(joined)
     if len(joined_l) == len(joined):
         # every lowercase mapping was 1:1 -> the offsets stay valid
+        # (utf8proc simple mapping is always codepoint-1:1, so this
+        # branch is the only live one; the fallback stays for safety)
         cpl = np.frombuffer(joined_l.encode("utf-32-le"), dtype=np.uint32)
         ntok, hitmat = _token_kernel(cpl, off, n)
     else:
-        low = [t.lower() for t in texts]
+        low = sql_lower_list(texts)
         lens2 = np.fromiter(map(len, low), np.int64, n)
         off2 = np.zeros(n + 1, np.int64)
         np.cumsum(lens2, out=off2[1:])
@@ -279,7 +287,9 @@ class LangId:
             hits = len(rx.findall(sample))
             if hits / max(1, n) > 0.05:
                 return lang, min(1.0, hits / max(1, n) * 4)
-        toks = self.token.findall(sample.lower())
+        from engine.textstats import sql_lower
+
+        toks = self.token.findall(sql_lower(sample))
         if not toks:
             return "und", 0.0
         best, best_hits = "und", 0

@@ -24,6 +24,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_PATTERN = r"\S+"
 
@@ -44,6 +45,29 @@ PY_WS_RE2 = (
 WORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 ALPHA_PATTERN = r"[A-Za-z]"
 PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+def sql_lower(text: str) -> str:
+    """lower() with utf8proc simple-mapping semantics -- identical to
+    Arrow ``utf8_lower`` AND DuckDB ``lower()`` (probed: İ -> i, final
+    sigma stays σ). Python ``str.lower`` full-casefolds (``İ`` ->
+    ``i̇`` two codepoints, ``Σ`` at word end -> ``ς``) and silently
+    diverges from every SQL oracle on Turkish/Greek text: every text
+    kernel whose oracle says ``lower(...)`` must lowercase through
+    HERE or ``pc.utf8_lower`` (pinned by
+    tests/test_dedup.py::test_minhash_simhash_unicode_lower_parity)."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pa.scalar(text if text is not None else "")).as_py()
+
+
+def sql_lower_list(texts) -> list:
+    """Vectorized :func:`sql_lower` for a list/array of texts (one
+    Arrow kernel call, NULL -> '')."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(texts), type=pa.string())
+    return pc.utf8_lower(pc.fill_null(arr, "")).to_pylist()
+
 
 #: fixed, tiny, fully deterministic stopword list (public knowledge)
 STOPWORDS = (
@@ -270,7 +294,19 @@ class TextStats:
             n_words = s.str.count(self.word).astype("int64")
             n_alpha = s.str.count(self.alpha).astype("int64")
             n_punct = s.str.count(self.punct).astype("int64")
-            n_stop = s.str.lower().str.count(self.stop_rx).astype("int64")
+            # lower with DuckDB/utf8proc semantics (sql_lower): Python
+            # str.lower maps İ to TWO codepoints and would miss the
+            # stopword the oracle's lower('İT') = 'it' finds. The
+            # pure-ASCII byte path can never see such codepoints, so
+            # the two engine paths stay mutually consistent.
+            try:
+                low = pd.Series(
+                    pc.utf8_lower(pa.array(s, type=pa.string())).to_pandas().values,
+                    index=s.index,
+                )
+            except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid):
+                low = s.str.lower()  # >2GiB block: pathological, keep counting
+            n_stop = low.str.count(self.stop_rx).astype("int64")
 
         nc = n_chars.to_numpy().astype(np.float64)
         nt = n_tokens.to_numpy().astype(np.float64)

@@ -581,3 +581,71 @@ def test_band_rows_uses_every_permutation_lane():
     assert h1[:4] == h2[:4] and h1[4] != h2[4]  # only doc1's last band moves
     with pytest.raises(ValueError, match="bands"):
         _band_rows(t, bands=8, id_col="doc_id")
+
+
+def test_minhash_simhash_unicode_lower_parity(ray_session, tmp_path):
+    """Turkish/Greek case pinning: Python str.lower full-casefolds
+    (İ -> i+combining-dot, final Σ -> ς) while DuckDB/Arrow lower is
+    the utf8proc simple mapping (İ -> i, Σ -> σ). Every lower() in a
+    SQL-oracled kernel must use the utf8proc semantics
+    (textstats.sql_lower) -- this fixture made minhash_pairs and
+    simhash_pairs emit ZERO of the two expected dup pairs before the
+    fix, and exercises quality_ratios/lang_id/top_terms on the same
+    codepoints."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    texts = [
+        "İstanbul İzmir İstanbul İzmir gezi",
+        "istanbul izmir istanbul izmir gezi",  # dup after utf8proc lower
+        "ΣΙΓΜΑΣ ΤΕΛΟΣ ΣΙΓΜΑΣ ΤΕΛΟΣ κείμενο",
+        "σιγμασ τελοσ σιγμασ τελοσ κείμενο",   # dup after utf8proc lower
+        "İT İN İS KİT words that lower into stopwords",
+        "plain ascii text here",
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["tr", "tr", "el", "el", "en", "en"]),
+            "source": pa.array(["x"] * n),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if d[c].dtype.kind == "f":
+                d[c] = d[c].round(2)
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    for name in ["minhash_pairs", "simhash_pairs", "quality_ratios", "lang_id",
+                 "top_terms"]:
+        got = entry.queries()[name](str(tmp_path))
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = con.execute(entry.oracle_sql()[name]).fetchdf()
+        g, w = norm(got), norm(want)
+        assert len(g) == len(w), (name, len(g), len(w))
+        pd.testing.assert_frame_equal(
+            g, w, check_dtype=False, check_exact=False, rtol=0, atol=5e-3
+        )
+    # the dup pairs exist (regression: engine found 0 before the fix)
+    pairs = entry.queries()["minhash_pairs"](str(tmp_path))
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    assert {(1, 2), (3, 4)} <= set(zip(pairs.id_a, pairs.id_b))

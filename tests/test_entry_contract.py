@@ -164,6 +164,11 @@ _POOLS = [
     [chr(c) for c in range(0x0300, 0x0330)],                   # combining marks
     [chr(c) for c in range(0x1F300, 0x1F360)],                 # astral emoji
     list(" \t\n\r\f\x0b\u00a0\u3000\u2028\u2029"),         # whitespace soup
+    # case-mapping traps: \u0130 (full-casefold adds a combining dot; the
+    # utf8proc/DuckDB simple mapping gives plain 'i'), Kelvin sign K,
+    # Greek sigma incl. final form, dotless \u0131 -- plus ascii letters
+    # that combine with them into stopword-shaped tokens
+    list("\u0130\u0131K\u03a3\u03c3\u03c2") + list("itnshea "),
 ]
 
 

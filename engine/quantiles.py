@@ -319,13 +319,37 @@ def quantile_cont(
 # grouped quantiles (low-cardinality keys: per-lang percentiles etc.)
 # ---------------------------------------------------------------------------
 
+class _NanKey:
+    """Canonical dict token for a float NaN group key: every
+    ``as_py()`` creates a DISTINCT nan object and ``nan != nan``, so
+    raw nan tuples silently split one SQL group across dict entries
+    (and miss broadcast lookups after pickling). Equality by TYPE
+    survives ray.put/pickle and cannot collide with any data value."""
+
+    __slots__ = ()
+
+    def __eq__(self, other):  # noqa: D105
+        return isinstance(other, _NanKey)
+
+    def __hash__(self):
+        return 0x5AFE
+
+
+_NAN_KEY = _NanKey()
+
+
+def _key_token(kv):
+    return _NAN_KEY if isinstance(kv, float) and np.isnan(kv) else kv
+
+
 def _batch_key_groups(t: pa.Table, key: str, col: str):
-    """Yield ((filled_key_value, isnull), native-dtype numpy values)
-    per unique key in the batch -- keys whose rows hold no valid value
-    still yield (with an empty array), so all-NULL groups surface.
-    Arrow filter per unique key: O(uniques) kernel calls, vectorized
-    inside; values never float through pandas (null-bearing int64
-    stays int64)."""
+    """Yield ((key_token, isnull), raw_key_value, native-dtype numpy
+    values) per unique key in the batch -- keys whose rows hold no
+    valid value still yield (with an empty array), so all-NULL groups
+    surface. The token (NaN canonicalized) is the dict identity; the
+    raw value is for Arrow transport/display. Arrow filter per unique
+    key: O(uniques) kernel calls, vectorized inside; values never
+    float through pandas (null-bearing int64 stays int64)."""
     from engine.aggregates import null_safe_key
 
     filled, isnull = null_safe_key(t.column(key))
@@ -342,7 +366,7 @@ def _batch_key_groups(t: pa.Table, key: str, col: str):
     for c in np.unique(comp):
         m = pa.array(comp == c)
         kv = dictionary[int(c) // 2].as_py()
-        yield (kv, int(c) % 2), _valid_numpy(vals.filter(m))
+        yield (_key_token(kv), int(c) % 2), kv, _valid_numpy(vals.filter(m))
 
 
 def _grouped_state(ds, key: str, col: str, per_batch: int, cap: int):
@@ -352,9 +376,13 @@ def _grouped_state(ds, key: str, col: str, per_batch: int, cap: int):
 
     def partial(t: pa.Table) -> pa.Table:
         kt = t.schema.field(key).type
+        if pa.types.is_null(kt):
+            # typeless all-NULL key column: null_safe_key filled it
+            # with int64 zeros, transport the key the same way
+            kt = pa.int64()
         vt = t.schema.field(col).type
         ks, nulls, ns, cands = [], [], [], []
-        for (kv, knull), v in _batch_key_groups(t, key, col):
+        for (_tok, knull), kv, v in _batch_key_groups(t, key, col):
             if len(v):
                 s = np.sort(v)
                 sample = s[:: max(1, len(v) // per_batch)]
@@ -381,9 +409,10 @@ def _grouped_state(ds, key: str, col: str, per_batch: int, cap: int):
         cnts = b.column("n").to_numpy(zero_copy_only=False)
         lists = b.column("cands").combine_chunks()
         for j in range(len(b)):
-            kk = (kcol[j].as_py(), int(ncol[j]))
-            flat = np.asarray(lists[j].as_py() if False else lists[j].values.to_numpy(zero_copy_only=False))
-            ent = state.setdefault(kk, [0, None])
+            kv = kcol[j].as_py()
+            kk = (_key_token(kv), int(ncol[j]))
+            flat = lists[j].values.to_numpy(zero_copy_only=False)
+            ent = state.setdefault(kk, [0, None, kv])
             ent[0] += int(cnts[j])
             if len(flat):
                 u = flat if ent[1] is None else np.concatenate([ent[1], flat])
@@ -391,8 +420,10 @@ def _grouped_state(ds, key: str, col: str, per_batch: int, cap: int):
                 if len(u) > cap:
                     u = u[:: len(u) // cap + 1]
                 ent[1] = u
+    # (n, candidates, display value) per (token, isnull)
     return {
-        k: (n, c if c is not None else np.array([])) for k, (n, c) in state.items()
+        k: (n, c if c is not None else np.array([]), kv)
+        for k, (n, c, kv) in state.items()
     }
 
 
@@ -442,11 +473,11 @@ def grouped_quantile_disc(
         offs = np.zeros(len(keys) + 1, dtype=np.int64)
         for i, kk in enumerate(keys):
             offs[i + 1] = offs[i] + len(state[kk][1])
-        concat = (
-            np.concatenate([state[kk][1] for kk in keys])
-            if offs[-1]
-            else np.array([])
-        )
+        # skip empty per-key arrays: an all-NULL-value group's
+        # np.array([]) is float64 and would promote every int64
+        # candidate past 2^53 (review finding)
+        nonempty = [state[kk][1] for kk in keys if len(state[kk][1])]
+        concat = np.concatenate(nonempty) if nonempty else np.array([])
         return ray.put((dict(kidx), concat, offs))
 
     refines = 0
@@ -456,7 +487,7 @@ def grouped_quantile_disc(
         def hist(t: pa.Table) -> pa.Table:
             km, concat, offs = ray.get(ref)
             rows_k, rows_id, rows_cnt, rows_eqb = [], [], [], []
-            for kk, v in _batch_key_groups(t, key, col):
+            for kk, _kv, v in _batch_key_groups(t, key, col):
                 i = km.get(kk)
                 if i is None or not len(v):
                     continue
@@ -494,7 +525,7 @@ def grouped_quantile_disc(
         residual: dict[tuple, dict[int, tuple[int, int]]] = {}
         big_pairs: list[tuple[int, int]] = []
         for kk in keys:
-            n_k, cands_k = state[kk]
+            n_k, cands_k = state[kk][0], state[kk][1]
             if not n_k:
                 continue
             counts = np.zeros(len(cands_k) + 1, dtype=np.int64)
@@ -519,15 +550,15 @@ def grouped_quantile_disc(
             break
         if big_pairs and refines < max_refine:
             bref = ray.put(set(big_pairs))
-            cref = _broadcast()
+            # state is unchanged since this round's _broadcast(): reuse
+            # ref instead of re-serializing O(keys x candidates)
 
             def sample(t: pa.Table) -> pa.Table:
                 pairs = ray.get(bref)
-                km, concat, offs = ray.get(cref)
+                km, concat, offs = ray.get(ref)
                 ks, lists = [], []
-                kt = t.schema.field(key).type  # noqa: F841 - keyed by ki
                 vt = t.schema.field(col).type
-                for kk, v in _batch_key_groups(t, key, col):
+                for kk, _kv, v in _batch_key_groups(t, key, col):
                     i = km.get(kk)
                     if i is None or not len(v):
                         continue
@@ -555,10 +586,10 @@ def grouped_quantile_disc(
                 for j in range(len(b)):
                     kk = keys[int(kis[j])]
                     flat = lists[j].values.to_numpy(zero_copy_only=False)
-                    n_k, cands_k = state[kk]
+                    n_k, cands_k, disp = state[kk]
                     u = np.unique(np.concatenate([cands_k, flat]))
                     if len(u) > len(cands_k):
-                        state[kk] = (n_k, u)
+                        state[kk] = (n_k, u, disp)
                         grew = True
             if grew:
                 refines += 1
@@ -570,14 +601,14 @@ def grouped_quantile_disc(
             (kidx[kk], i) for kk, rr in residual.items() for (i, _off) in rr.values()
         }
         nref = ray.put(need)
-        cref = _broadcast()
+        ref = _broadcast()  # state may have grown in the refine loop
 
         def pick(t: pa.Table) -> pa.Table:
             pairs = ray.get(nref)
-            km, concat, offs = ray.get(cref)
+            km, concat, offs = ray.get(ref)
             ks, ids, vs = [], [], []
             vt = t.schema.field(col).type
-            for kk, v in _batch_key_groups(t, key, col):
+            for kk, _kv, v in _batch_key_groups(t, key, col):
                 i = km.get(kk)
                 if i is None or not len(v):
                     continue
@@ -618,7 +649,7 @@ def grouped_quantile_disc(
 
     rows = []
     for kk in keys:
-        kv = None if kk[1] else kk[0]
+        kv = None if kk[1] else state[kk][2]
         n_k = state[kk][0]
         vals = [
             out_vals[kk][min(max(int(np.ceil(q * n_k)), 1), n_k)] if n_k else None

@@ -54,18 +54,29 @@ def sql_lower(text: str) -> str:
     diverges from every SQL oracle on Turkish/Greek text: every text
     kernel whose oracle says ``lower(...)`` must lowercase through
     HERE or ``pc.utf8_lower`` (pinned by
-    tests/test_dedup.py::test_minhash_simhash_unicode_lower_parity)."""
-    import pyarrow.compute as pc
+    tests/test_dedup.py::test_minhash_simhash_unicode_lower_parity).
 
-    return pc.utf8_lower(pa.scalar(text if text is not None else "")).as_py()
+    Lone-surrogate text is not UTF-8-encodable (Arrow refuses it) and
+    can never round-trip through parquet or reach a SQL oracle at all,
+    so it keeps the old ``str.lower`` tolerance instead of crashing --
+    the langid/minhash per-row fallbacks handle exactly such rows."""
+    t = text if text is not None else ""
+    try:
+        return pc.utf8_lower(pa.scalar(t)).as_py()
+    except (UnicodeEncodeError, pa.lib.ArrowInvalid):
+        return t.lower()
 
 
 def sql_lower_list(texts) -> list:
     """Vectorized :func:`sql_lower` for a list/array of texts (one
-    Arrow kernel call, NULL -> '')."""
-    import pyarrow.compute as pc
-
-    arr = pa.array(list(texts), type=pa.string())
+    Arrow kernel call, NULL -> ''). Falls back to per-item
+    :func:`sql_lower` when the batch cannot form one Arrow array
+    (lone surrogates, >2GiB of text) -- isolating the bad rows instead
+    of crashing the stage."""
+    try:
+        arr = pa.array(list(texts), type=pa.string())
+    except (UnicodeEncodeError, pa.lib.ArrowInvalid, pa.lib.ArrowCapacityError):
+        return [sql_lower(t) for t in texts]
     return pc.utf8_lower(pc.fill_null(arr, "")).to_pylist()
 
 

@@ -156,3 +156,63 @@ def test_grouped_quantile_empty(ray_session):
     df = pd.DataFrame({"k": pd.Series(dtype=object), "v": pd.Series(dtype="float64")})
     out = grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", [0.5])
     assert len(out) == 0 and list(out.columns) == ["k", "q_0.5"]
+
+
+def test_grouped_quantile_nan_key_is_one_group(ray_session):
+    """A float NaN key is ONE group (SQL GROUP BY semantics): raw nan
+    tuples split it across dict entries (nan != nan) and then KeyError
+    on the residual fetch -- review finding, fixed via _NanKey token."""
+    df = pd.DataFrame(
+        {
+            "k": [np.nan, np.nan, 1.5, 1.5, np.nan] * 200,
+            "v": np.arange(1000, dtype=np.int64) % 17,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_quantile_disc(ds, "k", "v", [0.5], candidates_per_batch=4)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        'SELECT k, quantile_disc(v, 0.5) AS "q_0.5" FROM t GROUP BY k'
+    ).fetchdf()
+    assert len(got) == len(want) == 2
+    g = got.sort_values("k", na_position="first").reset_index(drop=True)
+    w = want.sort_values("k", na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_grouped_quantile_int64_past_2_53_with_all_null_group(ray_session):
+    """An all-NULL-value group's empty float64 candidate array must not
+    promote the other groups' int64 candidates past 2^53 in the
+    broadcast concat (review finding): the 2^60-offset medians stay
+    exact to the unit."""
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": ["a", "b"] * (n // 2),
+            "v": pd.array(np.arange(n, dtype=np.int64) + (1 << 60), dtype="Int64"),
+        }
+    )
+    df.loc[df.k == "b", "v"] = None
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = grouped_quantile_disc(ds, "k", "v", [0.5], candidates_per_batch=8)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        'SELECT k, quantile_disc(v, 0.5) AS "q_0.5" FROM t GROUP BY k'
+    ).fetchdf()
+    g = got.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    assert g.loc[0, "q_0.5"] == w.loc[0, "q_0.5"]  # exact int, no rounding
+    assert pd.isna(g.loc[1, "q_0.5"]) and pd.isna(w.loc[1, "q_0.5"])
+
+
+def test_grouped_quantile_null_typed_key_column(ray_session):
+    """An all-None object key column arrives as Arrow null type; the
+    null_safe_key guard fills int64 zeros and the partial must
+    transport the key as int64, not type null (review finding)."""
+    df = pd.DataFrame(
+        {"k": pd.array([None, None, None], dtype=object), "v": [1.0, 2.0, 3.0]}
+    )
+    got = grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", [0.5])
+    assert len(got) == 1 and got.loc[0, "k"] is None and got.loc[0, "q_0.5"] == 2.0

@@ -475,3 +475,26 @@ def test_top_terms_per_lang_duckdb_parity(ray_session):
         )
 
     pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_sql_lower_surrogate_and_capacity_tolerance():
+    """sql_lower must TOLERATE lone surrogates (str.lower fallback),
+    not crash -- it sits inside the per-row fallbacks langid/minhash
+    route surrogate-bearing rows to (review finding)."""
+    from engine.textstats import sql_lower, sql_lower_list
+
+    s = "AbC \ud800 İstanbul"
+    assert sql_lower(s) == s.lower()  # surrogate: Python fallback
+    assert sql_lower("İT") == "it"    # normal path: utf8proc
+    out = sql_lower_list(["OK", None, "A\ud800B"])
+    assert out == ["ok", "", "a\ud800b"]
+
+
+def test_langid_classify_tolerates_lone_surrogate(ray_session):
+    """LangId.classify (the surrogate fallback path of the vectorized
+    langid) must not raise on surrogate-bearing text."""
+    from engine.langid import LangId
+
+    li = LangId()
+    lang, conf = li.classify("the of and a to in is \ud800 you that it")
+    assert lang == "en"

@@ -254,16 +254,16 @@ def _q_top_langs(sf_dir: str):
 
 def _q_top_dup_urls(sf_dir: str):
     """Global ORDER BY n LIMIT 10 over a high-cardinality grouped
-    count, fully streaming: per-batch Arrow count partials -> one
-    groupby of partials (group_count_ds) -> per-batch top-k prune +
-    single fold (global_topk). Neither the counts nor the sort ever
-    land on the driver."""
-    from engine.aggregates import global_topk, group_count_ds
+    count: key-hash bucketed count partials, per-bucket fold + local
+    top-k (exact: buckets partition the key space), final prune
+    (engine.aggregates.grouped_count_topk). The exchange sorts one
+    int64 bucket column, never the url strings; neither the counts nor
+    the sort ever land on the driver."""
+    from engine.aggregates import grouped_count_topk
     from engine.pages import read_pages
 
     pages = read_pages(sf_dir, with_html=False).select_columns(["url"])
-    counts = group_count_ds(pages, "url")
-    out = global_topk(counts, "n", 10, tie_cols=("url",))
+    out = grouped_count_topk(pages, "url", 10)
     return _schema_stable(out, url="object", n="int64")
 
 

@@ -261,6 +261,56 @@ def global_topk(ds, order_col: str, k: int, tie_cols: tuple[str, ...] = (),
     return pruned.groupby("__g").map_groups(fold, batch_format="pyarrow")
 
 
+def grouped_count_topk(ds, col: str, k: int, num_buckets: int = 64):
+    """Global top-k ``(key, count(*))`` for HIGH-cardinality keys (urls,
+    hashes): Ray's sort-based groupby would range-sort every partial by
+    the STRING key; instead the per-batch Arrow count partials carry a
+    64-bit key-hash bucket, the exchange sorts only that int64 column,
+    each coarse bucket folds its partials with one Arrow group_by sum
+    and emits ONLY its own top-k (buckets partition the key space, so
+    every global top-k member is top-k within its bucket), and a final
+    prune reduces B x k rows. Measured at 6 M rows / ~1.4 M distinct
+    urls: 33.9 s (string-sort groupby) -> see BENCH/new_ops_*, one
+    int-bucket exchange. NULL keys are one group (restored in the
+    fold); ties break by key ascending, NULLS LAST."""
+    from engine.dedup import hash64_keys
+
+    nb = np.uint64(num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        comp = _count_partial(col)(t)
+        h = hash64_keys(comp.column(col))
+        return comp.append_column(
+            "__bucket", pa.array((h % nb).astype(np.int64))
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["__bucket"])
+            .group_by([col, "__isnull"])
+            .aggregate([("count_all", "sum")])
+        )
+        keyed = pc.if_else(
+            pc.equal(g.column("__isnull"), 1),
+            pa.scalar(None, type=g.schema.field(col).type),
+            g.column(col),
+        )
+        counts = pa.table(
+            {col: keyed, "n": g.column("count_all_sum").cast(pa.int64())}
+        )
+        counts = counts.append_column(
+            "__g", pa.array(np.zeros(counts.num_rows, dtype=np.int64))
+        )
+        return _topk_table(counts, "__g", "n", k, (col,), True)[0].drop_columns(
+            ["__g"]
+        )
+
+    pruned = parts.groupby("__bucket").map_groups(fold, batch_format="pyarrow")
+    return global_topk(pruned, "n", k, tie_cols=(col,))
+
+
 def grouped_sum_count(ds, key: str, value_col: str):
     """Pre-aggregated grouped sum+count: per-batch Arrow group_by emits
     one partial row per key per batch; the exchange then moves partials

@@ -431,3 +431,34 @@ def test_topk_kernel_hypothesis_vs_pandas():
         assert set(got["id"]) == set(ref["id"]), (df, got, ref)
 
     check()
+
+
+def test_grouped_count_topk_duckdb_parity(ray_session):
+    """grouped_count_topk == GROUP BY + ORDER BY n DESC, k LIMIT on a
+    many-distinct-keys fixture with a NULL group and boundary ties."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.aggregates import grouped_count_topk
+
+    rng = np.random.default_rng(3)
+    keys = [f"u{int(i)}" for i in rng.zipf(1.3, 4000) % 700]
+    keys += [None] * 37
+    df = pd.DataFrame({"u": pd.array(keys, dtype=object)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = grouped_count_topk(ds, "u", 10).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT u, count(*) AS n FROM t GROUP BY u ORDER BY n DESC, u LIMIT 10"
+    ).fetchdf()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), na_position="first").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)

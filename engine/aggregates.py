@@ -228,6 +228,12 @@ def grouped_topk(
         )
 
     pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # Ray's sort-based groupby consumes its LAZY upstream twice (sample
+    # pass + sort pass) -- materializing the pruned partials (bounded at
+    # O(k x keys x batches) rows by construction) makes the sampling hit
+    # materialized blocks instead of re-running the whole upstream
+    # (measured 2x the full input pipeline without this)
+    pruned = pruned.materialize()
 
     def fold(t: pa.Table) -> pa.Table:
         return _topk_table(
@@ -251,7 +257,11 @@ def global_topk(ds, order_col: str, k: int, tie_cols: tuple[str, ...] = (),
             "__g", order_col, k, tie_cols, descending,
         )[0]
 
-    pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized for the same sample-pass reason as grouped_topk
+    # (O(k x batches) rows)
+    pruned = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def fold(t: pa.Table) -> pa.Table:
         return _topk_table(t, "__g", order_col, k, tie_cols, descending)[
@@ -284,7 +294,13 @@ def grouped_count_topk(ds, col: str, k: int, num_buckets: int = 64):
             "__bucket", pa.array((h % nb).astype(np.int64))
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: the bucket groupby's sample pass would otherwise
+    # re-run the full count-partial pass over the input (the partials
+    # are <= one row per distinct key per batch -- object-store-sized,
+    # spillable, far cheaper than a second input pass)
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def fold(t: pa.Table) -> pa.Table:
         g = (

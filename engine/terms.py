@@ -62,6 +62,10 @@ def term_counts(ds, text_col: str = "text", lang_col: str = "lang"):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # the groupby's sample pass re-executes a lazy upstream: pin the
+    # (vocab x batches)-sized partials so tokenization runs ONCE
+    # (measured 24.4 s -> one 13 s pass at 6 M rows / 8 CPUs)
+    parts = parts.materialize()
     agg = parts.groupby([lang_col, "__isnull", "term"]).sum("count_all")
 
     def restore(t: pa.Table) -> pa.Table:

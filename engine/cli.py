@@ -10,6 +10,9 @@ to ``ray job submit`` on a real cluster::
     python -m engine expire  --table T --ttl-hours 24
     python -m engine scan    --table T [--limit 10]
     python -m engine ingest-csv --table T --input *.csv [--id-field url]
+    python -m engine quantiles --table T --column n_chars --q 0.5 0.9 [--by lang]
+    python -m engine topk    --table T --order warc_ts --k 10 [--by lang] [--tie url]
+    python -m engine top-terms --table T [--k 5]
 
 This is the only module besides bench.py and the test fixture that owns
 a Ray session (guarded: respects an already-initialised Ray).
@@ -73,6 +76,23 @@ def main(argv=None) -> int:
     sp = add("scan")
     sp.add_argument("--limit", type=int, default=10)
     sp.add_argument("--columns", nargs="*", default=None)
+
+    sp = add("quantiles")
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--q", nargs="+", type=float, default=[0.5])
+    sp.add_argument("--by", default=None)
+
+    sp = add("topk")
+    sp.add_argument("--order", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--by", default=None)
+    sp.add_argument("--tie", nargs="*", default=[])
+    sp.add_argument("--asc", action="store_true")
+
+    sp = add("top-terms")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--lang-col", default="lang")
 
     args = p.parse_args(argv)
     _ensure_ray()
@@ -150,6 +170,46 @@ def main(argv=None) -> int:
         t = Table.load(args.table)
         rows = t.scan(columns=args.columns).limit(args.limit).take_all()
         out = {"rows": rows, "total": t.snapshot().total_rows}
+    elif args.cmd == "quantiles":
+        t = Table.load(args.table)
+        if args.by:
+            from engine.quantiles import grouped_quantile_disc
+
+            df = grouped_quantile_disc(
+                t.scan(columns=[args.by, args.column]), args.by, args.column, args.q
+            )
+            out = df.to_dict(orient="records")
+        else:
+            from engine.quantiles import quantile_disc
+
+            vals = quantile_disc(t.scan(columns=[args.column]), args.column, args.q)
+            out = dict(zip((f"q_{q}" for q in args.q), vals))
+    elif args.cmd == "topk":
+        from engine.aggregates import global_topk, grouped_topk
+
+        t = Table.load(args.table)
+        cols = [c for c in {args.order, args.by, *args.tie} if c]
+        ds = t.scan(columns=sorted(cols))
+        if args.by:
+            res = grouped_topk(
+                ds, args.by, args.order, args.k,
+                tie_cols=tuple(args.tie), descending=not args.asc,
+            )
+        else:
+            res = global_topk(
+                ds, args.order, args.k,
+                tie_cols=tuple(args.tie), descending=not args.asc,
+            )
+        out = res.to_pandas().to_dict(orient="records")
+    elif args.cmd == "top-terms":
+        from engine.terms import top_terms_per_lang
+
+        t = Table.load(args.table)
+        df = top_terms_per_lang(
+            t.scan(columns=[args.text_col, args.lang_col]),
+            k=args.k, text_col=args.text_col, lang_col=args.lang_col,
+        ).to_pandas()
+        out = df.to_dict(orient="records")
     else:  # pragma: no cover
         p.error(f"unknown command {args.cmd}")
 

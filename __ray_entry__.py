@@ -252,6 +252,24 @@ def _q_top_langs(sf_dir: str):
     )
 
 
+def _q_tfidf_terms(sf_dir: str):
+    """TF-IDF-annotated vocabulary: per-lang top-5 terms ranked by
+    exact integer tf (float-free selection), document frequency from a
+    second distinct-doc count pass, tfidf = tf * ln(1 + N/df) rounded
+    2dp (engine.terms.tfidf_top_terms). Only the SELECTED terms' df
+    rows leave the vocab-sized df Dataset."""
+    import ray.data
+    from engine.terms import tfidf_top_terms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    out = tfidf_top_terms(ds, k=5)
+    return _schema_stable(
+        out, lang="object", term="object", tf="int64", df="int64", tfidf="float64"
+    )
+
+
 def _q_top_dup_urls(sf_dir: str):
     """Global ORDER BY n LIMIT 10 over a high-cardinality grouped
     count: key-hash bucketed count partials, per-bucket fold + local
@@ -780,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "top_terms": _q_top_terms,
+        "tfidf_terms": _q_tfidf_terms,
         "top_dup_urls": _q_top_dup_urls,
         "distinct_ratio": _q_distinct_ratio,
         "type_score": _q_type_score,
@@ -1105,6 +1124,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",
+        # tf-idf: integer tf ranks (float-free selection), df = distinct
+        # docs containing the term, natural log both sides, 2dp rounding
+        "tfidf_terms": (
+            f"WITH toks AS ("
+            f"  SELECT doc_id, lang, unnest(regexp_extract_all("
+            f"lower(coalesce(text, '')), '[^{pys}]+')) AS term FROM documents"
+            f"), ft AS (SELECT * FROM toks WHERE term NOT IN ({stopwords})),"
+            f" counts AS (SELECT lang, term, count(*) AS tf FROM ft"
+            f"   GROUP BY lang, term),"
+            f" dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft"
+            f"   GROUP BY term),"
+            f" n AS (SELECT count(*) AS n_docs FROM documents),"
+            f" ranked AS (SELECT lang, term, tf, row_number() OVER ("
+            f"   PARTITION BY lang ORDER BY tf DESC, term) AS rn FROM counts)"
+            f" SELECT r.lang, r.term, r.tf, d.df,"
+            f"   round(r.tf * ln(1 + (SELECT n_docs FROM n)"
+            f"     / CAST(d.df AS DOUBLE)), 2) AS tfidf"
+            f" FROM ranked r JOIN dfreq d USING (term) WHERE rn <= 5"
+        ),
         # global grouped-count LIMIT: NULL url is one group, NULLS LAST
         # in the url tie-break (DuckDB default)
         "top_dup_urls": (

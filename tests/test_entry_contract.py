@@ -105,6 +105,7 @@ PARITY_QUERIES = [
     "distinct_ratio",
     "top_docs_per_lang",
     "top_terms",
+    "tfidf_terms",
     "length_quantiles_per_lang",
     "sanitize_text",
     "redact_pii",

@@ -145,8 +145,12 @@ def _interval_counts(ds, col: str, cands: np.ndarray) -> tuple[np.ndarray, np.nd
             }
         )
 
+    # pin the (intervals x batches) partials: the sort groupby's sample
+    # pass would re-run the full input histogram otherwise (the
+    # lazy-double-execution rule, ARCHITECTURE §2)
     agg = (
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
         .groupby("id")
         .sum(["cnt", "eqb"])
         .to_pandas()
@@ -515,8 +519,11 @@ def grouped_quantile_disc(
                  "eqb": pa.array(np.concatenate(rows_eqb))}
             )
 
+        # materialized for the same sample-pass reason as
+        # _interval_counts (partials are O(keys x intervals x batches))
         agg = (
             ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
             .groupby(["ki", "id"])
             .sum(["cnt", "eqb"])
             .to_pandas()
@@ -601,7 +608,9 @@ def grouped_quantile_disc(
             (kidx[kk], i) for kk, rr in residual.items() for (i, _off) in rr.values()
         }
         nref = ray.put(need)
-        ref = _broadcast()  # state may have grown in the refine loop
+        # every state-growing path re-broadcasts at the loop top before
+        # the histogram runs, and every break path leaves state
+        # untouched -- the in-scope ref is current, no re-serialize
 
         def pick(t: pa.Table) -> pa.Table:
             pairs = ray.get(nref)

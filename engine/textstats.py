@@ -63,7 +63,9 @@ def sql_lower(text: str) -> str:
     t = text if text is not None else ""
     try:
         return pc.utf8_lower(pa.scalar(t)).as_py()
-    except (UnicodeEncodeError, pa.lib.ArrowInvalid):
+    except (UnicodeEncodeError, pa.lib.ArrowInvalid, pa.lib.ArrowCapacityError):
+        # lone surrogate, or a single >2GiB row (case mapping can also
+        # GROW bytes past the cap): keep counting with str.lower
         return t.lower()
 
 

@@ -38,7 +38,9 @@ def test_cli_quantiles_and_grouped(tmp_path, ray_session, capsys):
         ).fetchall()
     )
     got = {r["lang"]: r["q_0.5"] for r in rows}
-    assert set(got) == set(want)
+    # the CLI JSON stringifies timestamps (default=str): compare values
+    # through the same rendering, not just the key set
+    assert got == {k: str(v) for k, v in want.items()}
 
 
 def test_cli_topk_global_and_grouped(tmp_path, ray_session, capsys):

@@ -98,8 +98,42 @@ def _canon_keys(values) -> pd.Series:
     key 1 arrive as 1.0 on one side and 1 on the other), NULLs map to
     None (callers exclude them -- NULL never matches). A divergent
     representation between the sides would create FALSE negatives,
-    which a Bloom filter must never produce."""
+    which a Bloom filter must never produce.
+
+    Numeric key columns format through vectorized numpy int64/float
+    formatting with an integral-float mask (round-4 VERDICT #3 -- the
+    scalar ``canon`` closure survived only here); mixed / string-typed
+    / exotic dtypes keep the per-row fallback, whose output this path
+    matches exactly (pinned by the parity test)."""
     s = pd.Series(list(values), dtype=object)
+    na = s.isna().to_numpy()
+    ok = ~na
+    kind = pd.api.types.infer_dtype(s, skipna=True)
+    out = np.empty(len(s), dtype=object)
+    out[na] = None
+    if kind == "integer":
+        try:
+            ints = s.to_numpy()[ok].astype(np.int64)
+        except (OverflowError, TypeError, ValueError):
+            ints = None  # bignum beyond int64 -> scalar fallback
+        if ints is not None:
+            out[ok] = ints.astype(str)
+            return pd.Series(out, index=s.index, dtype=object)
+    if kind in ("floating", "mixed-integer-float", "empty"):
+        f = s.to_numpy()[ok].astype(np.float64)
+        integral = (f == np.floor(f)) & (np.abs(f) < float(2**63))
+        vals = np.empty(len(f), dtype=object)
+        vals[integral] = f[integral].astype(np.int64).astype(str)
+        rest = ~integral
+        # numpy shortest-round-trip repr == str(float) for finite values
+        vals[rest] = f[rest].astype(str)
+        # integral floats >= 2^63 (1e300, ...): str(int(v)) like the
+        # scalar path -- O(#huge) only
+        huge = rest & np.isfinite(f) & (f == np.floor(f))
+        if huge.any():
+            vals[huge] = np.array([str(int(v)) for v in f[huge]], dtype=object)
+        out[ok] = vals
+        return pd.Series(out, index=s.index, dtype=object)
 
     def canon(v):
         if v is None or (isinstance(v, float) and np.isnan(v)):

@@ -338,6 +338,12 @@ class _NanKey:
     def __hash__(self):
         return 0x5AFE
 
+    def __repr__(self):
+        # fixed token: result-row ordering sorts by str(key), and the
+        # default repr's memory address made the NaN group's position
+        # nondeterministic run-to-run (round-4 ADVICE #2)
+        return "NaN"
+
 
 _NAN_KEY = _NanKey()
 

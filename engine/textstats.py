@@ -135,8 +135,11 @@ def string_buffer(s: pd.Series):
 
     try:
         arr = pa.array(s, type=pa.string())
-    except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid):
-        return None  # >2GiB batch: regex fallback, not a crash
+    except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid, UnicodeEncodeError):
+        # >2GiB batch OR lone-surrogate rows (unencodable as UTF-8):
+        # regex fallback, not a crash -- the same surrogate-tolerance
+        # policy sql_lower/langid already follow (round-4 ADVICE #1)
+        return None
     if arr.null_count:
         arr = pc.fill_null(arr, "")
     off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
@@ -317,8 +320,10 @@ class TextStats:
                     pc.utf8_lower(pa.array(s, type=pa.string())).to_pandas().values,
                     index=s.index,
                 )
-            except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid):
-                low = s.str.lower()  # >2GiB block: pathological, keep counting
+            except (pa.lib.ArrowCapacityError, pa.lib.ArrowInvalid, UnicodeEncodeError):
+                # >2GiB block or surrogate-bearing rows: degrade to the
+                # Python lower per-batch rather than crash (ADVICE #1)
+                low = s.str.lower()
             n_stop = low.str.count(self.stop_rx).astype("int64")
 
         nc = n_chars.to_numpy().astype(np.float64)

@@ -129,11 +129,24 @@ def add_cluster_key(
     ``cols`` = (dictionary-coded column, string-prefix column); defaults
     to the north_rule's (lang, url)."""
     code_col, str_col = cols
-    # astype(object): a dictionary-encoded Arrow column arrives as a
-    # pandas Categorical, whose .map result rejects fillna with a value
-    # outside its categories (TypeError) even when nothing is null
-    langs = batch.column(code_col).to_pandas().astype(object)
-    x = langs.map(lang_codes).fillna(len(lang_codes)).to_numpy(dtype=np.uint64)
+    # dictionary-encode the (low-cardinality) code column so the
+    # lang->code dict is consulted once per DISTINCT value and rows
+    # ride one np.take -- the old object-dtype Series.map paid a Python
+    # dict lookup per ROW of every cluster job (round-4 VERDICT #2)
+    col = batch.column(code_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col if pa.types.is_dictionary(col.type) else pc.dictionary_encode(col)
+    sentinel = np.uint64(len(lang_codes))  # unseen values AND nulls
+    codes = np.array(
+        [lang_codes.get(v, sentinel) for v in enc.dictionary.to_pylist()]
+        + [sentinel],
+        dtype=np.uint64,
+    )
+    idx = pc.fill_null(enc.indices, len(enc.dictionary)).to_numpy(
+        zero_copy_only=False
+    )
+    x = codes[idx]
     y = url_sort_key32(batch.column(str_col))
     if curve == "hilbert":
         key = hilbert_index(x, y)

@@ -462,3 +462,35 @@ def test_grouped_count_topk_duckdb_parity(ray_session):
         )
 
     pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_canon_keys_vectorized_matches_scalar():
+    # round-4 VERDICT #3: the numeric fast path must render EXACTLY the
+    # strings the scalar closure rendered (divergence between build and
+    # probe sides = Bloom false negatives)
+    from engine.lookup import _canon_keys
+
+    def scalar(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    cases = [
+        [1, 2, 3, -7, 0],                      # pure int
+        [1, None, 3],                          # int with null
+        [1.0, 2.5, float("nan"), -0.0, 3.0],   # float with nan
+        [1, 2.0, None, 7.25],                  # mixed int/float
+        [2**62, -(2**62), 5],                  # large int64
+        [1e300, float("inf"), -float("inf"), 0.1],  # huge/inf floats
+        [2**70, 1],                            # bignum -> scalar fallback
+        ["a", "1", "1.5", ""],                 # strings stay verbatim
+        [True, False, 1],                      # bools -> scalar fallback
+        [],                                    # empty
+        [None, None],                          # all null
+    ]
+    for vals in cases:
+        got = _canon_keys(vals)
+        want = [scalar(v) for v in vals]
+        assert [None if pd.isna(g) else str(g) for g in got] == want, vals

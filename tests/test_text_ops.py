@@ -498,3 +498,24 @@ def test_langid_classify_tolerates_lone_surrogate(ray_session):
     li = LangId()
     lang, conf = li.classify("the of and a to in is \ud800 you that it")
     assert lang == "en"
+
+
+def test_textstats_tolerates_lone_surrogate():
+    """A surrogate-bearing in-memory batch must degrade to the regex /
+    Python-lower fallbacks per batch, not crash the stage (round-4
+    ADVICE #1: string_buffer and the stopword lower both encode to
+    UTF-8 and previously let UnicodeEncodeError escape)."""
+    st = TextStats()
+    bad = "caf\ud800e the and is"  # lone high surrogate mid-token
+    df = pd.DataFrame({"text": [bad, "the quick brown fox", ""]})
+    out = st(df)
+    assert len(out) == 3
+    assert (out["n_tokens"] >= 0).all()
+    # the clean row still counts its stopwords through the fallback
+    assert out.loc[1, "n_tokens"] == 4
+
+
+def test_string_buffer_surrogate_returns_none():
+    from engine.textstats import string_buffer
+
+    assert string_buffer(pd.Series(["ok", "bad\udfff"])) is None

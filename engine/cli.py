@@ -13,6 +13,7 @@ to ``ray job submit`` on a real cluster::
     python -m engine quantiles --table T --column n_chars --q 0.5 0.9 [--by lang]
     python -m engine topk    --table T --order warc_ts --k 10 [--by lang] [--tie url]
     python -m engine top-terms --table T [--k 5]
+    python -m engine reindex --table T [--retrain] [--vec-col embedding]
 
 This is the only module besides bench.py and the test fixture that owns
 a Ray session (guarded: respects an already-initialised Ray).
@@ -94,6 +95,12 @@ def main(argv=None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--lang-col", default="lang")
 
+    sp = add("reindex")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--retrain", action="store_true")
+    sp.add_argument("--n-centroids", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -145,7 +152,10 @@ def main(argv=None) -> int:
         entries = write_files(ds, t.data_dir, prefix="csv", stats_cols=())
         from engine.jobs import _entries_schema
 
-        snap = t.commit("ingest-csv", add_files=entries, schema=_entries_schema(entries))
+        snap = t.commit(
+            "ingest-csv", add_files=entries, schema=_entries_schema(entries),
+            dead_letter_rows=len(rejected) + len(errors),
+        )
         out = {
             "snapshot_id": snap.snapshot_id,
             "rows": snap.total_rows,
@@ -169,7 +179,23 @@ def main(argv=None) -> int:
     elif args.cmd == "scan":
         t = Table.load(args.table)
         rows = t.scan(columns=args.columns).limit(args.limit).take_all()
-        out = {"rows": rows, "total": t.snapshot().total_rows}
+        snap = t.snapshot()
+        dl = t.dead_letter_counts()
+        out = {
+            "rows": rows,
+            "total": snap.total_rows,
+            "dead_letters": snap.dead_letter_rows,
+            "dead_letters_total": sum(dl.values()),
+        }
+    elif args.cmd == "reindex":
+        from engine.similarity import reindex_ivf
+
+        t = Table.load(args.table)
+        _, out = reindex_ivf(
+            t, id_col=args.id_col, vec_col=args.vec_col,
+            retrain=args.retrain, n_centroids=args.n_centroids,
+        )
+        out["snapshot_id"] = t.current_snapshot_id()
     elif args.cmd == "quantiles":
         t = Table.load(args.table)
         if args.by:

@@ -495,6 +495,161 @@ def load_ivf_centroids(table) -> np.ndarray:
     return np.load(os.path.join(table.manifest_dir, "ivf_centroids.npy"))
 
 
+def _assign_lists(t: pa.Table, c: np.ndarray, vec_col: str) -> np.ndarray:
+    """Per-row IVF list id for a batch; invalid vectors (null / empty /
+    zero-norm) get -1 -- they are excluded from similarity on both
+    sides (`filter_valid_vectors` contract), and list -1 is never
+    probed, so keeping the rows keeps scans lossless without letting
+    undefined cosines into an index list."""
+    n = len(t)
+    out = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return out
+    col = t.column(vec_col)
+    ok = pc.and_(pc.is_valid(col), pc.greater(pc.list_value_length(col), 0))
+    ok = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+    if not ok.any():
+        return out
+    m = _stack(t.filter(pa.array(ok)).column(vec_col))
+    nz = (m * m).sum(axis=1) > 0.0
+    a = (_normalize(m) @ c.T).argmax(axis=1).astype(np.int64)
+    idx = np.flatnonzero(ok)[nz]
+    out[idx] = a[nz]
+    return out
+
+
+def reindex_ivf(
+    table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_file: int | None = None,
+    retrain: bool = False,
+    n_centroids: int | None = None,
+    train_sample: int = 2048,
+):
+    """IVF index maintenance after upserts/merges (round-4 VERDICT #5).
+
+    ``build_ivf_index`` is write-once: rows later MERGEd/upserted into
+    the index table carry a missing or stale ``__list``, and because
+    probes prune AT THE MANIFEST a drifted assignment silently loses
+    recall (wrong results, not just slow ones). This op re-aligns the
+    stored assignment through the same snapshot lifecycle as
+    compact/cluster:
+
+    1. loads the persisted centroids -- or re-trains them from a fresh
+       strided sample (``retrain=True``, the 'rebalance' path for
+       oversized/over-merged lists: every file is then rewritten);
+    2. finds drifted files with ONE distributed pass (map_batches over
+       the live files with ``include_paths``): each row's argmax list
+       vs the stored column, summed per file on the driver (a few
+       bytes per FILE, never per row);
+    3. rewrites ONLY the drifted files, range-partitioned by
+       ``__list``, and swaps them in ONE atomic manifest commit
+       (remove + add, operation ``ivf-reindex``).
+
+    Untouched files never move bytes, so the cost is proportional to
+    drift, not table size. Invalid vectors (null/empty/zero-norm) are
+    assigned list -1: never probed, consistent with the
+    `filter_valid_vectors` exclusion both engine and oracle apply.
+
+    Returns ``(table, stats)`` where stats has ``files_checked`` /
+    ``files_rewritten`` / ``rows_rewritten`` / ``retrained``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.writer import write_files
+
+    files = table.live_files()
+    stats = {
+        "files_checked": len(files),
+        "files_rewritten": 0,
+        "rows_rewritten": 0,
+        "retrained": bool(retrain),
+    }
+    if not files:
+        return table, stats
+    schema = table.arrow_schema()
+    if retrain:
+        base = table.scan(columns=[id_col, vec_col])
+        c = train_centroids(
+            _train_sample_vectors(
+                filter_valid_vectors(base, vec_col), train_sample, vec_col,
+                n_rows=sum(f.rows for f in files),
+            ),
+            n_centroids or len(load_ivf_centroids(table)),
+        )
+        # every file is eligible: assignments moved globally
+        drifted = [f.path for f in files]
+    else:
+        c = load_ivf_centroids(table)
+        cref = ray.put(c)
+
+        def check(t: pa.Table) -> pa.Table:
+            want = _assign_lists(t, ray.get(cref), vec_col)
+            if "__list" in t.schema.names:
+                have = t.column("__list").to_pandas().fillna(-2).to_numpy(np.int64)
+            else:
+                have = np.full(len(t), -2, dtype=np.int64)
+            drift = want != have
+            # one partial row per path per batch -- bytes ~ O(files)
+            paths, inv = np.unique(
+                t.column("path").to_pandas().to_numpy(dtype=object),
+                return_inverse=True,
+            )
+            return pa.table(
+                {
+                    "path": pa.array(paths, pa.string()),
+                    "drifted": pa.array(
+                        np.bincount(inv, weights=drift, minlength=len(paths)).astype(np.int64)
+                    ),
+                }
+            )
+
+        per_file = (
+            ray.data.read_parquet(
+                [f.path for f in files], schema=schema, include_paths=True
+            )
+            .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        agg = per_file.groupby("path")["drifted"].sum()
+        drifted = sorted(agg[agg > 0].index)
+    if not drifted:
+        return table, stats
+
+    cref = ray.put(c)
+
+    def reassign(t: pa.Table) -> pa.Table:
+        a = pa.array(_assign_lists(t, ray.get(cref), vec_col))
+        if "__list" in t.schema.names:
+            return t.set_column(t.schema.get_field_index("__list"), "__list", a)
+        return t.append_column("__list", a)
+
+    listed = (
+        ray.data.read_parquet(list(drifted), schema=schema)
+        .map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("__list")
+    )
+    entries = write_files(
+        listed,
+        table.data_dir,
+        prefix="ivf",
+        stats_cols=(id_col, "__list"),
+        rows_per_file=rows_per_file,
+    )
+    new_schema = pq.read_schema(entries[0].path) if entries else None
+    table.commit(
+        "ivf-reindex", add_files=entries, remove_files=drifted, schema=new_schema
+    )
+    if retrain:
+        np.save(os.path.join(table.manifest_dir, "ivf_centroids.npy"), c)
+    stats["files_rewritten"] = len(drifted)
+    stats["rows_rewritten"] = sum(e.rows for e in entries)
+    return table, stats
+
+
 def _file_has_any(fe, col: str, values) -> bool:
     rng = fe.stats.get(col)
     if rng is None or rng[0] is None or rng[1] is None:

@@ -225,6 +225,27 @@ def _q_quality_ratios(sf_dir: str):
     return text_stats(ds).select_columns(["doc_id", "alpha_ratio", "punct_ratio", "stop_ratio"])
 
 
+def _q_quality_entropy(sf_dir: str):
+    """Character-trigram Shannon entropy per doc (the model-free
+    quality score standing in for a CCNet-class perplexity filter).
+    Engine and oracle both compute H = log2(n) - sum(c*log2 c)/n over
+    the identical per-doc trigram count multisets (collision-free
+    packed keys on the engine side), rounded to 2dp on both sides --
+    the terms are identical reals, only summation order differs."""
+    import numpy as np
+    import ray.data
+
+    from engine.textstats import add_trigram_entropy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def rnd(df):
+        df = df.assign(entropy=np.round(df["entropy"], 2))
+        return df[["doc_id", "entropy"]]
+
+    return add_trigram_entropy(ds).map_batches(rnd, batch_format="pandas")
+
+
 def _q_lang_counts(sf_dir: str):
     import ray.data
     from engine.aggregates import group_count_null_safe
@@ -794,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": _q_embed_dup_pairs,
         "token_stats": _q_token_stats,
         "quality_ratios": _q_quality_ratios,
+        "quality_entropy": _q_quality_entropy,
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1121,6 +1143,24 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN {n_chars} > 0 THEN {n_punct} / CAST({n_chars} AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
             f"CASE WHEN {n_tokens} > 0 THEN {n_stop} / CAST({n_tokens} AS DOUBLE) ELSE 0.0 END AS stop_ratio "
             "FROM documents"
+        ),
+        # character-trigram entropy: same stable integer-count form the
+        # engine kernel computes (H = log2 n - sum(c log2 c)/n); < 3
+        # chars (incl. NULL text) -> 0.0; 2dp rounding both sides
+        "quality_entropy": (
+            "WITH sh AS ("
+            "  SELECT doc_id, CASE WHEN length(coalesce(text, '')) >= 3 THEN"
+            "    list_transform(generate_series(1, length(coalesce(text, '')) - 2),"
+            "                   i -> substr(coalesce(text, ''), i, 3))"
+            "    ELSE CAST([] AS VARCHAR[]) END AS gs"
+            "  FROM documents"
+            "), tg AS (SELECT doc_id, unnest(gs) AS g FROM sh),"
+            " c AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY doc_id, g),"
+            " h AS (SELECT doc_id,"
+            "   log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt) AS ent"
+            "   FROM c GROUP BY doc_id)"
+            " SELECT d.doc_id, ROUND(coalesce(h.ent, 0.0), 2) AS entropy"
+            " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",

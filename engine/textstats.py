@@ -389,3 +389,82 @@ def text_stats(ds, text_col: str = "text", concurrency=None, batch_size: int = 4
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# character-trigram entropy (model-free quality score)
+# ---------------------------------------------------------------------------
+
+def trigram_entropy(texts) -> np.ndarray:
+    """Per-doc Shannon entropy (bits) over overlapping CHARACTER
+    trigrams -- the SQL-mirrorable analog of a CCNet-class perplexity
+    filter (round-4 VERDICT "What's missing" #3): keyboard-mash and
+    template boilerplate score low, natural prose sits in a tight band,
+    so a band filter on this column is a cheap quality gate.
+
+    Fully vectorized and EXACT: every codepoint is < 2^21, so a trigram
+    packs collision-free into ``(c0 << 42) | (c1 << 21) | c2`` -- one
+    flat UTF-32 decode of the whole batch, doc-crossing windows masked
+    (the ``_flat_shingles`` idiom), per-doc run-length counts from ONE
+    lexsort, and the numerically stable integer-count form
+    ``H = log2(n) - sum(c * log2 c) / n`` that the DuckDB mirror
+    computes term-for-term. Docs with < 3 characters (incl. NULL) score
+    0.0. Lone-surrogate rows (unencodable; in-memory batches only)
+    degrade to a per-row Python count, same tolerance policy as
+    ``sql_lower``.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    clean = [t if isinstance(t, str) else "" for t in texts]
+    try:
+        flat = "".join(clean).encode("utf-32-le")
+    except UnicodeEncodeError:
+        # rare: route every row through the scalar fallback rather than
+        # hunting the offender (surrogates never come from parquet)
+        from collections import Counter
+        from math import log2
+
+        for i, t in enumerate(clean):
+            if len(t) < 3:
+                continue
+            c = Counter(t[j : j + 3] for j in range(len(t) - 2))
+            tot = sum(c.values())
+            out[i] = log2(tot) - sum(v * log2(v) for v in c.values()) / tot
+        return out
+    cp = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+    lens = np.array([len(t) for t in clean], dtype=np.int64)
+    ends = np.cumsum(lens)
+    N = len(cp)
+    if N < 3:
+        return out
+    key = (cp[: N - 2] << np.uint64(42)) | (cp[1 : N - 1] << np.uint64(21)) | cp[2:]
+    pos = np.arange(N - 2)
+    doc_of = np.searchsorted(ends, pos, side="right")
+    same = doc_of == np.searchsorted(ends, pos + 2, side="right")
+    key, did = key[same], doc_of[same]
+    if len(key) == 0:
+        return out
+    order = np.lexsort((key, did))
+    kv, dv = key[order], did[order]
+    new = np.empty(len(kv), bool)
+    new[0] = True
+    np.logical_or(dv[1:] != dv[:-1], kv[1:] != kv[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(kv))).astype(np.float64)
+    run_doc = dv[starts]
+    tot = np.bincount(did, minlength=n).astype(np.float64)
+    clogc = np.bincount(run_doc, weights=cnt * np.log2(cnt), minlength=n)
+    nz = tot > 0
+    out[nz] = np.log2(tot[nz]) - clogc[nz] / tot[nz]
+    return out
+
+
+def add_trigram_entropy(ds, text_col: str = "text", out_col: str = "entropy"):
+    """map_batches stage appending the per-doc trigram entropy column."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(**{out_col: trigram_entropy(df[text_col].tolist())})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -519,3 +519,48 @@ def test_string_buffer_surrogate_returns_none():
     from engine.textstats import string_buffer
 
     assert string_buffer(pd.Series(["ok", "bad\udfff"])) is None
+
+
+def test_trigram_entropy_matches_reference():
+    from collections import Counter
+    from math import log2
+
+    from engine.textstats import trigram_entropy
+
+    def ref(t):
+        t = t if isinstance(t, str) else ""
+        if len(t) < 3:
+            return 0.0
+        c = Counter(t[j : j + 3] for j in range(len(t) - 2))
+        tot = sum(c.values())
+        return log2(tot) - sum(v * log2(v) for v in c.values()) / tot
+
+    texts = [
+        "", None, "ab", "abc", "aaaa", "abcabcabc",
+        "the quick brown fox jumps over the lazy dog",
+        "日本語のテキストです",       # non-ASCII codepoints pack exactly
+        "𝔘nicode 𝔞stral ch𝔞rs",      # astral plane < 2^21: no collision
+        "aaaaaaaaab", "x" * 1000,
+        "".join(chr(33 + (i * 7) % 90) for i in range(500)),
+    ]
+    got = trigram_entropy(texts)
+    want = np.array([ref(t) for t in texts])
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+    # uniform-random-ish text scores high, constant text scores 0
+    assert got[10] == 0.0 and got[11] > 5.0
+    # surrogate-bearing batch degrades to the scalar path, same values
+    bad = trigram_entropy(["abcab", "x\ud800yz w"])
+    assert abs(bad[0] - ref("abcab")) < 1e-12
+
+
+def test_add_trigram_entropy_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.textstats import add_trigram_entropy
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["abcabcabc", None], pa.string())})
+    out = add_trigram_entropy(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.columns) == ["doc_id", "text", "entropy"]
+    assert out.loc[out.doc_id == 2, "entropy"].iloc[0] == 0.0

@@ -567,6 +567,51 @@ def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     return flat[np.arange(tot) + np.repeat(starts - cum, lens)]
 
 
+def _pairwise_jaccard(u: np.ndarray, u_off: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for every (ia[p], ib[p]) doc pair over the per-doc
+    SORTED UNIQUE hash sets ``(u, u_off)`` -- zero per-pair Python and
+    ZERO SORTS.
+
+    The trick: map hash values to dense global ranks (one np.unique
+    over the doc sets, O(docs x set) not O(pairs x set)), then build
+    composite keys ``pair * R + rank`` by ragged-gathering each pair's
+    two doc segments. Within a segment ranks ascend (the doc arrays are
+    sorted and rank mapping is monotone) and across segments the pair
+    id ascends, so BOTH key arrays are globally sorted by construction
+    -- the intersection size per pair is one branchless binary search
+    of side A into side B plus a bincount, and
+    ``jac = |A n B| / (|A| + |B| - |A n B|)``. A first version
+    lexsorted the gathered concatenations (O(pairs x set x log) with a
+    big constant) and measured 4x SLOWER than the per-pair Python set
+    fold it replaced; this form is the one that actually wins
+    (BENCH/verify_micro_r5.json). Both-empty pairs -> 1.0.
+    """
+    usz = np.diff(u_off)
+    la, lb = usz[ia], usz[ib]
+    npairs = len(ia)
+    uniq = np.unique(u)
+    R = np.int64(len(uniq) + 1)
+    if npairs * int(R) >= 2**62:  # composite-key headroom guard
+        raise ValueError(
+            f"pair batch too large for composite rank keys ({npairs} pairs x "
+            f"{int(R)} distinct shingles); lower the verify batch size"
+        )
+    r = np.searchsorted(uniq, u).astype(np.int64)
+    seg_a = np.repeat(np.arange(npairs, dtype=np.int64), la)
+    ka = seg_a * R + _ragged_gather(r, u_off[ia], la)
+    kb = np.repeat(np.arange(npairs, dtype=np.int64), lb) * R + _ragged_gather(
+        r, u_off[ib], lb
+    )
+    inter = np.zeros(npairs, np.int64)
+    if len(ka) and len(kb):
+        pos = np.searchsorted(kb, ka)
+        found = pos < len(kb)
+        found[found] = kb[pos[found]] == ka[found]
+        inter = np.bincount(seg_a[found], minlength=npairs)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor
     (reference pattern T3: load-once worker state). The whole batch is
@@ -1059,37 +1104,16 @@ def minhash_dedup_pairs(
         # exact Jaccard for the WHOLE pair batch in numpy (round-4
         # VERDICT #1: this was the last per-pair Python fold). Shingle
         # once per distinct DOC (a doc in a size-m dup cluster appears
-        # in up to m-1 pairs) into sorted-unique 64-bit hash arrays;
-        # then |A u B| for every pair falls out of ONE lexsort over the
-        # ragged-gathered concatenations with first-of-run flags, and
-        # |A n B| = |A| + |B| - |A u B|. No set(), no pair loop.
+        # in up to m-1 pairs) into sorted-unique 64-bit hash arrays,
+        # then one sort-free rank-key intersection for all pairs
+        # (:func:`_pairwise_jaccard`). No set(), no pair loop.
         ids = np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
         texts = pd.concat([df["text_a"], df["text_b"]]).to_numpy(dtype=object)
         uids, first = np.unique(ids, return_index=True)
         u, u_off = _doc_shingle_hash_sets(texts[first], shingle_k)
-        usz = np.diff(u_off)
         ia = np.searchsorted(uids, df["id_a"].to_numpy())
         ib = np.searchsorted(uids, df["id_b"].to_numpy())
-        la, lb = usz[ia], usz[ib]
-        npairs = len(df)
-        seg = np.concatenate(
-            [np.repeat(np.arange(npairs), la), np.repeat(np.arange(npairs), lb)]
-        )
-        vals = np.concatenate(
-            [_ragged_gather(u, u_off[ia], la), _ragged_gather(u, u_off[ib], lb)]
-        )
-        order = np.lexsort((vals, seg))
-        sv, gv = vals[order], seg[order]
-        union = np.zeros(npairs, np.int64)
-        if len(sv):
-            new = np.empty(len(sv), bool)
-            new[0] = True
-            np.logical_or(gv[1:] != gv[:-1], sv[1:] != sv[:-1], out=new[1:])
-            union = np.bincount(gv[new], minlength=npairs).astype(np.int64)
-        inter = la + lb - union
-        # both-empty pairs (union 0) are exact duplicates by contract
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        df = df.assign(jaccard=jac)
+        df = df.assign(jaccard=_pairwise_jaccard(u, u_off, ia, ib))
         return df[df.jaccard >= threshold][["id_a", "id_b", "jaccard"]]
 
     return with_texts.map_batches(verify, batch_format="pandas")

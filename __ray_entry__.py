@@ -44,6 +44,18 @@ def _schema_stable(ds_or_df, **dtypes):
     return df[list(dtypes)]
 
 
+def _sql_round2(v):
+    """2dp rounding with DuckDB ``ROUND(DOUBLE, 2)`` semantics
+    (half-away-from-zero on the scaled value) for non-negative inputs.
+    numpy's half-even ``np.round`` diverges on exact .xx5 ratios (2/80
+    rounds 0.02 vs DuckDB 0.03 -- caught by the rep_stats oracle);
+    ``floor(v*100 + 0.5)/100`` matched DuckDB on a 406-value probe
+    sweep including every i/400."""
+    import numpy as np
+
+    return np.floor(np.asarray(v, dtype=np.float64) * 100.0 + 0.5) / 100.0
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -240,10 +252,31 @@ def _q_quality_entropy(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def rnd(df):
-        df = df.assign(entropy=np.round(df["entropy"], 2))
+        df = df.assign(entropy=_sql_round2(df["entropy"]))
         return df[["doc_id", "entropy"]]
 
     return add_trigram_entropy(ds).map_batches(rnd, batch_format="pandas")
+
+
+def _q_rep_stats(sf_dir: str):
+    """Gopher/MassiveText repetition filters: duplicate-line fraction
+    and top word-bigram share per doc, 2dp both sides. Line hashing and
+    bigram keys are 64-bit content hashes (collision p ~ 2^-64); the
+    oracle recomputes both from the strings."""
+    import numpy as np
+    import ray.data
+
+    from engine.textstats import add_repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def rnd(df):
+        return df.assign(
+            dup_line_frac=_sql_round2(df["dup_line_frac"]),
+            top_bigram_share=_sql_round2(df["top_bigram_share"]),
+        )[["doc_id", "dup_line_frac", "top_bigram_share"]]
+
+    return add_repetition_stats(ds).map_batches(rnd, batch_format="pandas")
 
 
 def _q_lang_counts(sf_dir: str):
@@ -816,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_ratios": _q_quality_ratios,
         "quality_entropy": _q_quality_entropy,
+        "rep_stats": _q_rep_stats,
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1161,6 +1195,34 @@ def oracle_sql() -> dict[str, str]:
             "   FROM c GROUP BY doc_id)"
             " SELECT d.doc_id, ROUND(coalesce(h.ent, 0.0), 2) AS entropy"
             " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        # Gopher repetition filters: dup-line fraction over raw '\n'
+        # splits (empty doc = one empty line -> 0.0) and the share of
+        # the most frequent word bigram; < 2 tokens -> 0.0
+        "rep_stats": (
+            f"WITH l AS ("
+            f"  SELECT doc_id, unnest(str_split(coalesce(text, ''), chr(10))) AS line"
+            f"  FROM documents"
+            f"), lf AS ("
+            f"  SELECT doc_id,"
+            f"    1.0 - count(DISTINCT line) / CAST(count(*) AS DOUBLE) AS dlf"
+            f"  FROM l GROUP BY doc_id"
+            f"), tk AS ("
+            f"  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),"
+            f" '[^{pys}]+') AS tk FROM documents"
+            f"), bg AS ("
+            f"  SELECT doc_id, CASE WHEN len(tk) >= 2 THEN"
+            f"    list_transform(generate_series(1, len(tk) - 1),"
+            f"                   i -> tk[i] || ' ' || tk[i+1])"
+            f"    ELSE CAST([] AS VARCHAR[]) END AS gs FROM tk"
+            f"), bgu AS (SELECT doc_id, unnest(gs) AS g FROM bg),"
+            f" c AS (SELECT doc_id, g, count(*) AS bn FROM bgu GROUP BY doc_id, g),"
+            f" s AS (SELECT doc_id, max(bn) / CAST(sum(bn) AS DOUBLE) AS tbs"
+            f"   FROM c GROUP BY doc_id)"
+            f" SELECT d.doc_id, ROUND(lf.dlf, 2) AS dup_line_frac,"
+            f"   ROUND(coalesce(s.tbs, 0.0), 2) AS top_bigram_share"
+            f" FROM documents d JOIN lf ON d.doc_id = lf.doc_id"
+            f" LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_langs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 3",

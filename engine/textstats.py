@@ -468,3 +468,93 @@ def add_trigram_entropy(ds, text_col: str = "text", out_col: str = "entropy"):
         return df.assign(**{out_col: trigram_entropy(df[text_col].tolist())})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+def repetition_stats(texts) -> tuple:
+    """Per-doc ``(dup_line_frac, top_bigram_share)`` -- the two classic
+    Gopher/MassiveText repetition filters (Rae et al. 2021, public):
+    the fraction of non-distinct lines (boilerplate/menu pages repeat
+    lines) and the share of the most frequent word bigram among all
+    bigrams (spam/keyword-stuffed pages concentrate mass in one
+    2-gram).
+
+    Vectorized with the same machinery as the verify fold: lines /
+    tokens are hashed once per batch (``pd.util.hash_array``, 64-bit;
+    distinct strings collide with p ~ 2^-64), per-doc run counts come
+    from ONE lexsort with first-of-run flags, and bigram keys reuse the
+    flat k=2 XOR-mix recurrence (:func:`engine.dedup._flat_shingles`).
+    Definitions mirror the DuckDB oracle exactly: lines =
+    ``split('\\n')`` of the raw text (an empty doc is ONE empty line ->
+    frac 0), bigrams over ``\\S+`` tokens of ``lower(text)``, docs with
+    < 2 tokens score 0.0.
+    """
+    n = len(texts)
+    dup_line = np.zeros(n, np.float64)
+    top_bg = np.zeros(n, np.float64)
+    if n == 0:
+        return dup_line, top_bg
+    clean = [t if isinstance(t, str) else "" for t in texts]
+
+    lines_per = [t.split("\n") for t in clean]
+    llens = np.array([len(x) for x in lines_per], np.int64)  # always >= 1
+    lh = pd.util.hash_array(
+        np.asarray([l for ls in lines_per for l in ls], dtype=object)
+    ).astype(np.uint64)
+    did = np.repeat(np.arange(n), llens)
+    order = np.lexsort((lh, did))
+    dv, kv = did[order], lh[order]
+    new = np.empty(len(kv), bool)
+    new[0] = True
+    np.logical_or(dv[1:] != dv[:-1], kv[1:] != kv[:-1], out=new[1:])
+    distinct = np.bincount(dv[new], minlength=n)
+    dup_line = 1.0 - distinct / llens
+
+    toks_per = [_TOKEN_RE_WS.findall(x) for x in sql_lower_list(clean)]
+    lens = np.array([len(tk) for tk in toks_per], np.int64)
+    flat = [s for tk in toks_per for s in tk]
+    if flat:
+        from engine.dedup import _flat_shingles
+
+        th = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        sh, s_off = _flat_shingles(th, lens, 2)
+        did2 = np.repeat(np.arange(n), np.diff(s_off))
+        if len(sh):
+            order = np.lexsort((sh, did2))
+            dv2, kv2 = did2[order], sh[order]
+            new2 = np.empty(len(kv2), bool)
+            new2[0] = True
+            np.logical_or(dv2[1:] != dv2[:-1], kv2[1:] != kv2[:-1], out=new2[1:])
+            starts = np.flatnonzero(new2)
+            runs = np.diff(np.append(starts, len(kv2)))
+            run_doc = dv2[starts]
+            first = np.empty(len(run_doc), bool)
+            first[0] = True
+            first[1:] = run_doc[1:] != run_doc[:-1]
+            firsts = np.flatnonzero(first)
+            maxes = np.maximum.reduceat(runs, firsts)
+            present = run_doc[firsts]
+            tot = np.diff(s_off)
+            top_bg[present] = maxes / tot[present]
+            # docs with < 2 tokens have no bigram (the shrunk-k shingle
+            # _flat_shingles emits for them is not a bigram)
+            top_bg[lens < 2] = 0.0
+    return dup_line, top_bg
+
+
+#: \S+ tokenizer shared with dedup (same oracle class)
+_TOKEN_RE_WS = re.compile(r"\S+")
+
+
+def add_repetition_stats(ds, text_col: str = "text"):
+    """map_batches stage appending ``dup_line_frac`` /
+    ``top_bigram_share`` columns."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        dl, tb = repetition_stats(df[text_col].tolist())
+        return df.assign(dup_line_frac=dl, top_bigram_share=tb)
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -5,6 +5,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import re
 import ray.data
 
 from engine.fingerprint import fingerprint64, fingerprint_stage, rolling_hashes, winnow
@@ -564,3 +565,48 @@ def test_add_trigram_entropy_stage(ray_session):
     out = add_trigram_entropy(ray.data.from_arrow(t)).to_pandas()
     assert list(out.columns) == ["doc_id", "text", "entropy"]
     assert out.loc[out.doc_id == 2, "entropy"].iloc[0] == 0.0
+
+
+def test_repetition_stats_match_reference():
+    from collections import Counter
+
+    from engine.textstats import repetition_stats, sql_lower_list
+
+    def ref(t):
+        t = t if isinstance(t, str) else ""
+        lines = t.split("\n")
+        dlf = 1.0 - len(set(lines)) / len(lines)
+        toks = re.findall(r"\S+", sql_lower_list([t])[0])
+        if len(toks) < 2:
+            return dlf, 0.0
+        c = Counter(zip(toks, toks[1:]))
+        return dlf, max(c.values()) / (len(toks) - 1)
+
+    texts = [
+        "a\na\nb",                      # 1/3 dup lines
+        "menu\nmenu\nmenu\nmenu",       # 3/4 dup lines
+        "", None, "one",                # degenerate: 0.0 / 0.0
+        "x y x y x y",                  # top bigram 'x y' = 3/5
+        "spam spam spam spam",          # 'spam spam' = 3/3
+        "a b c d e f",                  # all distinct = 1/5
+        "İ İ İ",                        # unicode lower through sql_lower
+        "line\n\nline\n",               # empty lines count as lines
+    ]
+    dl, tb = repetition_stats(texts)
+    for i, t in enumerate(texts):
+        rdl, rtb = ref(t)
+        assert abs(dl[i] - rdl) < 1e-12, (i, dl[i], rdl)
+        assert abs(tb[i] - rtb) < 1e-12, (i, tb[i], rtb)
+
+
+def test_add_repetition_stats_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.textstats import add_repetition_stats
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["x y x y x y", None], pa.string())})
+    out = add_repetition_stats(ray.data.from_arrow(t)).to_pandas()
+    assert abs(out.loc[0, "top_bigram_share"] - 0.6) < 1e-12
+    assert out.loc[1, "dup_line_frac"] == 0.0

@@ -258,6 +258,21 @@ def _q_quality_entropy(sf_dir: str):
     return add_trigram_entropy(ds).map_batches(rnd, batch_format="pandas")
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style global line dedup: each distinct line survives only at
+    its lexicographically first (doc_id, idx) occurrence; docs are
+    reassembled from surviving lines. Text never rides the exchange --
+    only (hash, doc, idx) triples and loser coordinates."""
+    import ray.data
+
+    from engine.dedup import dedup_lines_global
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _schema_stable(
+        dedup_lines_global(ds), doc_id="int64", text="object"
+    )
+
+
 def _q_rep_stats(sf_dir: str):
     """Gopher/MassiveText repetition filters: duplicate-line fraction
     and top word-bigram share per doc, 2dp both sides. Line hashing and
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ratios": _q_quality_ratios,
         "quality_entropy": _q_quality_entropy,
         "rep_stats": _q_rep_stats,
+        "line_dedup": _q_line_dedup,
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1195,6 +1211,28 @@ def oracle_sql() -> dict[str, str]:
             "   FROM c GROUP BY doc_id)"
             " SELECT d.doc_id, ROUND(coalesce(h.ent, 0.0), 2) AS entropy"
             " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        # C4 global line dedup: winner = min doc then min idx per
+        # distinct line; docs rebuilt from survivors in order (a doc
+        # losing every line keeps ''). NULL text = one empty line.
+        "line_dedup": (
+            "WITH l AS ("
+            "  SELECT doc_id, u.i AS idx, u.line FROM ("
+            "    SELECT doc_id, unnest(list_transform("
+            "      generate_series(1, len(ls)), i -> {'i': i, 'line': ls[i]})) AS u"
+            "    FROM (SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS ls"
+            "          FROM documents))"
+            "), w AS (SELECT line, min(doc_id) AS wdoc FROM l GROUP BY line),"
+            " w2 AS (SELECT l.line, w.wdoc, min(l.idx) AS widx FROM l"
+            "   JOIN w ON l.line = w.line AND l.doc_id = w.wdoc"
+            "   GROUP BY l.line, w.wdoc),"
+            " kept AS (SELECT l.doc_id, l.idx, l.line FROM l"
+            "   JOIN w2 ON l.line = w2.line"
+            "   WHERE l.doc_id = w2.wdoc AND l.idx = w2.widx),"
+            " o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text"
+            "   FROM kept GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(o.text, '') AS text"
+            " FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id"
         ),
         # Gopher repetition filters: dup-line fraction over raw '\n'
         # splits (empty doc = one empty line -> 0.0) and the share of

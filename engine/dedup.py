@@ -1711,3 +1711,141 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
     # distributed distinct (a pair can collide in several bands); stays
     # an object-store Dataset -- nothing lands on the driver
     return _distinct_pairs(pairs, extra_cols=("hamming",), num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int | None = None):
+    """Global line-level dedup (the C4 pipeline's cross-document line
+    filter, Raffel et al. 2020, public): a line (``'\\n'`` split of the
+    raw text) survives ONLY at its first corpus occurrence -- the
+    lexicographically minimal ``(doc_id, line_idx)`` over every
+    occurrence, including repeats inside one document -- and each doc
+    is reassembled from its surviving lines in original order.
+
+    Scale shape: document TEXT never rides an exchange. Pass 1 explodes
+    ``(h1, h2, doc, idx)`` triples (two independent 64-bit line-content
+    hashes -- a single 64-bit key has a real collision probability at
+    10^12 lines, the pair is p ~ n^2/2^128) and hash-partitions them by
+    line hash, so each fold bucket holds every occurrence of its lines
+    and emits only the LOSER coordinates (16 B per dropped line,
+    bounded by the duplicate count). Pass 2 co-partitions those drop
+    rows with the corpus by doc id and rebuilds each doc locally.
+    Folds are one-vectorized-call-per-bucket (~``_pairs_buckets``
+    groups), not per-line Python. Returns a Dataset ``(doc_id, text)``
+    with one row per input doc (a doc whose every line was dropped
+    keeps an empty string).
+    """
+    num_buckets = _pairs_buckets(ds, num_buckets)
+    proj = ds.select_columns([id_col, text_col])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [x if isinstance(x, str) else "" for x in t.column(text_col).to_pylist()]
+        lines_per = [x.split("\n") for x in texts]
+        lens = np.array([len(ls) for ls in lines_per], np.int64)
+        flat = np.asarray([l for ls in lines_per for l in ls], dtype=object)
+        h1 = pd.util.hash_array(flat).astype(np.uint64)
+        h2 = pd.util.hash_array(flat, hash_key="f0e1d2c3b4a59687").astype(np.uint64)
+        doc = np.repeat(ids, lens)
+        idx = (
+            np.arange(len(flat), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + 1  # 1-based, mirroring the SQL generate_series
+        )
+        return pa.table(
+            {
+                "h1": pa.array(h1), "h2": pa.array(h2),
+                "doc": pa.array(doc), "idx": pa.array(idx),
+                "__bucket": pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort(
+            (df["idx"].to_numpy(), df["doc"].to_numpy(),
+             df["h2"].to_numpy(), df["h1"].to_numpy())
+        )
+        h1 = df["h1"].to_numpy()[o]
+        h2 = df["h2"].to_numpy()[o]
+        first = np.ones(len(o), bool)
+        if len(o) > 1:
+            np.logical_or(h1[1:] != h1[:-1], h2[1:] != h2[:-1], out=first[1:])
+        return pd.DataFrame(
+            {
+                "doc": df["doc"].to_numpy()[o][~first],
+                "idx": df["idx"].to_numpy()[o][~first],
+            }
+        )
+
+    drops = (
+        proj.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: losers(df.drop(columns=["__bucket"])), batch_format="pandas"
+        )
+    )
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        h = _mix64(ids.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table(
+            {
+                "doc": ids,
+                "idx": pa.nulls(len(t), pa.int64()),
+                "text": t.column(text_col).cast(pa.string()),
+                "__side": pa.array(np.zeros(len(t), np.int8)),
+                "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def drop_side(t: pa.Table) -> pa.Table:
+        d = t.column("doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(d)
+        return pa.table(
+            {
+                "doc": t.column("doc").cast(pa.int64()),
+                "idx": t.column("idx").cast(pa.int64()),
+                "text": pa.nulls(len(t), pa.string()),
+                "__side": pa.array(np.ones(len(t), np.int8)),
+                "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        corp = df[df["__side"] == 0]
+        dr = df[df["__side"] == 1]
+        # the union's corpus rows carry NULL idx, so pandas upcasts the
+        # column to float64 -- cast back (line indexes are far below
+        # 2^53, so the float round-trip is exact)
+        dropped: dict = {
+            doc: np.sort(g.to_numpy()).astype(np.int64)
+            for doc, g in dr.groupby("doc")["idx"]
+        }
+        out_ids, out_texts = [], []
+        for doc, text in zip(corp["doc"], corp["text"]):
+            t = text if isinstance(text, str) else ""
+            gone = dropped.get(doc)
+            if gone is None or len(gone) == 0:
+                out_ids.append(doc)
+                out_texts.append(t)
+                continue
+            lines = t.split("\n")
+            keep = np.ones(len(lines), bool)
+            keep[gone - 1] = False
+            out_ids.append(doc)
+            out_texts.append("\n".join([l for l, k in zip(lines, keep) if k]))
+        return pd.DataFrame({id_col: np.array(out_ids, np.int64), text_col: out_texts})
+
+    both = proj.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(drop_side, batch_format="pyarrow", zero_copy_batch=True))
+    return (
+        both.groupby("__bucket")
+        .map_groups(
+            lambda df: rebuild(df.drop(columns=["__bucket"])), batch_format="pandas"
+        )
+    )

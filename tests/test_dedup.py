@@ -753,3 +753,59 @@ def test_verify_fold_fuzz_parity(ray_session):
     ).to_pandas()
     for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard):
         assert j == _set_jaccard(texts[a], texts[b], 3), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_lines_global_semantics(ray_session):
+    from engine.dedup import dedup_lines_global
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            ["a\nb\nc", "b\nd", "a\na\nx", None, "c\nb\na"], pa.string()
+        ),
+    })
+    out = (
+        dedup_lines_global(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc 1 is first everywhere; doc 2 loses 'b'; doc 3 loses BOTH 'a'
+    # occurrences (incl. its own repeat); doc 4's null text is the
+    # first '' line so it keeps ''; doc 5 loses everything
+    assert out.text.tolist() == ["a\nb\nc", "d", "x", "", ""]
+
+
+def test_dedup_lines_global_duckdb_parity_multiline(ray_session, tmp_path):
+    # the driver corpus has no newlines, so pin the multi-line
+    # reassembly against the SQL oracle on a random multi-line fixture
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(13)
+    lines_pool = [f"line-{i}" for i in range(40)] + ["", "  ", "tab\tline"]
+    texts = []
+    for i in range(120):
+        k = int(rng.integers(0, 7))
+        texts.append("\n".join(rng.choice(lines_pool, k)) if k else "")
+    tbl = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = entry.queries()["line_dedup"](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["line_dedup"]).fetchdf()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -1781,8 +1781,14 @@ def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
+    # materialize the triples feeding the sort exchange: Ray's
+    # sort-based groupby consumes a lazy upstream twice (sample + sort)
+    # and would re-run the split+hash explode over every line
+    # (ARCHITECTURE lazy-double-execution rule; measured ~8% at 2M docs
+    # -- the triples are 40 B/line and spill-capable at scale)
     drops = (
         proj.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
         .groupby("__bucket")
         .map_groups(
             lambda df: losers(df.drop(columns=["__bucket"])), batch_format="pandas"
@@ -1840,9 +1846,15 @@ def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
             out_texts.append("\n".join([l for l, k in zip(lines, keep) if k]))
         return pd.DataFrame({id_col: np.array(out_ids, np.int64), text_col: out_texts})
 
+    # pin the (small, dup-bounded) drop rows too: the union feeds a
+    # second sort exchange that would otherwise re-run the whole
+    # pass-1 groupby chain on its sampling pass
+    dside = drops.map_batches(
+        drop_side, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     both = proj.map_batches(
         corpus_side, batch_format="pyarrow", zero_copy_batch=True
-    ).union(drops.map_batches(drop_side, batch_format="pyarrow", zero_copy_batch=True))
+    ).union(dside)
     return (
         both.groupby("__bucket")
         .map_groups(

@@ -809,3 +809,26 @@ def test_dedup_lines_global_duckdb_parity_multiline(ray_session, tmp_path):
     g = got.sort_values("doc_id").reset_index(drop=True)
     w = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_pairwise_jaccard_hypothesis_parity():
+    # property: _pairwise_jaccard over _doc_shingle_hash_sets equals
+    # the set-of-word-shingles definition for random corpora
+    from hypothesis import given, settings, strategies as st
+
+    from engine.dedup import _doc_shingle_hash_sets, _pairwise_jaccard
+
+    tok = st.sampled_from(["a", "bb", "ccc", "Ç", "1", "İ"])
+    doc = st.lists(tok, min_size=0, max_size=9).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8))
+    def run(texts):
+        u, u_off = _doc_shingle_hash_sets(texts, 3)
+        n = len(texts)
+        ia, ib = np.triu_indices(n, k=1)
+        got = _pairwise_jaccard(u, u_off, ia.astype(np.int64), ib.astype(np.int64))
+        for p, (i, j) in enumerate(zip(ia, ib)):
+            assert got[p] == _set_jaccard(texts[i], texts[j], 3), (i, j)
+
+    run()

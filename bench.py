@@ -302,6 +302,37 @@ def run_headline() -> dict:
         ).sum("n")
         timings["redact"] = round(time.perf_counter() - t0, 3)
 
+        # round-5 text quality operators over the full expanded input
+        t0 = time.perf_counter()
+        from engine.textstats import add_trigram_entropy
+
+        add_trigram_entropy(
+            ray.data.read_parquet(in_dir, columns=["text"], override_num_blocks=64)
+        ).count()
+        timings["entropy"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        from engine.textstats import add_repetition_stats
+
+        add_repetition_stats(
+            ray.data.read_parquet(in_dir, columns=["text"], override_num_blocks=64)
+        ).count()
+        timings["rep_stats"] = round(time.perf_counter() - t0, 3)
+
+        # C4 line dedup over the raw documents table (micro, like
+        # minhash_dedup: it needs the int64 doc_id the pages derivation
+        # drops)
+        t0 = time.perf_counter()
+        from engine.dedup import dedup_lines_global
+
+        dedup_lines_global(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+                override_num_blocks=16,
+            )
+        ).count()
+        timings["line_dedup"] = round(time.perf_counter() - t0, 3)
+
     shutil.rmtree(work, ignore_errors=True)
     return {
         "metric": "maintenance rows compacted+clustered per sec (ingest+merge+compact+cluster+expire)",

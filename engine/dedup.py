@@ -1824,6 +1824,8 @@ def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
     def rebuild(df: pd.DataFrame) -> pd.DataFrame:
         corp = df[df["__side"] == 0]
         dr = df[df["__side"] == 1]
+        ids = corp["doc"].to_numpy().astype(np.int64)
+        texts = corp["text"].to_numpy(dtype=object)
         # the union's corpus rows carry NULL idx, so pandas upcasts the
         # column to float64 -- cast back (line indexes are far below
         # 2^53, so the float round-trip is exact)
@@ -1831,20 +1833,19 @@ def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
             doc: np.sort(g.to_numpy()).astype(np.int64)
             for doc, g in dr.groupby("doc")["idx"]
         }
-        out_ids, out_texts = [], []
-        for doc, text in zip(corp["doc"], corp["text"]):
-            t = text if isinstance(text, str) else ""
-            gone = dropped.get(doc)
-            if gone is None or len(gone) == 0:
-                out_ids.append(doc)
-                out_texts.append(t)
-                continue
-            lines = t.split("\n")
-            keep = np.ones(len(lines), bool)
-            keep[gone - 1] = False
-            out_ids.append(doc)
-            out_texts.append("\n".join([l for l, k in zip(lines, keep) if k]))
-        return pd.DataFrame({id_col: np.array(out_ids, np.int64), text_col: out_texts})
+        # per-row Python only for docs that actually LOST a line
+        # (output-proportional); the untouched majority passes through
+        # as-is with zero per-doc work
+        if dropped:
+            touched = np.isin(ids, np.fromiter(dropped, np.int64, len(dropped)))
+            for i in np.flatnonzero(touched):
+                t = texts[i] if isinstance(texts[i], str) else ""
+                lines = t.split("\n")
+                keep = np.ones(len(lines), bool)
+                keep[dropped[ids[i]] - 1] = False
+                texts[i] = "\n".join([l for l, k in zip(lines, keep) if k])
+        texts = [t if isinstance(t, str) else "" for t in texts]
+        return pd.DataFrame({id_col: ids, text_col: texts})
 
     # pin the (small, dup-bounded) drop rows too: the union feeds a
     # second sort exchange that would otherwise re-run the whole

@@ -154,7 +154,7 @@ def main(argv=None) -> int:
 
         snap = t.commit(
             "ingest-csv", add_files=entries, schema=_entries_schema(entries),
-            dead_letter_rows=len(rejected) + len(errors),
+            dead_letter_records=len(rejected) + len(errors),
         )
         out = {
             "snapshot_id": snap.snapshot_id,
@@ -184,7 +184,7 @@ def main(argv=None) -> int:
         out = {
             "rows": rows,
             "total": snap.total_rows,
-            "dead_letters": snap.dead_letter_rows,
+            "dead_letters": snap.dead_letter_records,
             "dead_letters_total": sum(dl.values()),
         }
     elif args.cmd == "reindex":

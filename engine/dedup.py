@@ -36,7 +36,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-_TOKEN_RE = re.compile(r"\S+")
+from engine.textstats import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
+
+_TOKEN_RE = re.compile(_TOKEN_PATTERN)  # ONE definition of the token class
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 

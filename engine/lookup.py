@@ -121,19 +121,28 @@ def _canon_keys(values) -> pd.Series:
             return pd.Series(out, index=s.index, dtype=object)
     if kind in ("floating", "mixed-integer-float", "empty"):
         f = s.to_numpy()[ok].astype(np.float64)
-        integral = (f == np.floor(f)) & (np.abs(f) < float(2**63))
-        vals = np.empty(len(f), dtype=object)
-        vals[integral] = f[integral].astype(np.int64).astype(str)
-        rest = ~integral
-        # numpy shortest-round-trip repr == str(float) for finite values
-        vals[rest] = f[rest].astype(str)
-        # integral floats >= 2^63 (1e300, ...): str(int(v)) like the
-        # scalar path -- O(#huge) only
-        huge = rest & np.isfinite(f) & (f == np.floor(f))
-        if huge.any():
-            vals[huge] = np.array([str(int(v)) for v in f[huge]], dtype=object)
-        out[ok] = vals
-        return pd.Series(out, index=s.index, dtype=object)
+        if kind == "mixed-integer-float" and len(f) and np.abs(f).max() >= float(2**53):
+            # a Python INT above 2^53 in a mixed batch would round
+            # through float64 and canonicalize differently than the
+            # same key in a pure-int batch on the other side -- the
+            # cross-side divergence this function exists to prevent
+            # (review finding, reproduced: 2^53+1 -> '...992' vs
+            # '...993'). Rare magnitude: take the scalar path.
+            f = None
+        if f is not None:
+            integral = (f == np.floor(f)) & (np.abs(f) < float(2**63))
+            vals = np.empty(len(f), dtype=object)
+            vals[integral] = f[integral].astype(np.int64).astype(str)
+            rest = ~integral
+            # numpy shortest-round-trip repr == str(float) for finite values
+            vals[rest] = f[rest].astype(str)
+            # integral floats >= 2^63 (1e300, ...): str(int(v)) like the
+            # scalar path -- O(#huge) only
+            huge = rest & np.isfinite(f) & (f == np.floor(f))
+            if huge.any():
+                vals[huge] = np.array([str(int(v)) for v in f[huge]], dtype=object)
+            out[ok] = vals
+            return pd.Series(out, index=s.index, dtype=object)
 
     def canon(v):
         if v is None or (isinstance(v, float) and np.isnan(v)):

@@ -86,13 +86,17 @@ class Snapshot:
     #: lossy fallback silently corrupted e.g. an IVF index table's
     #: ``embedding: list<float>`` to string on the next scan.
     schema_ipc: str = ""
-    #: records this commit quarantined instead of ingesting (rejected
-    #: CSV files, undecodable rows, ...) -- a first-class manifest stat
-    #: (round-4 VERDICT #8) so dead-letter volume is queryable per
-    #: snapshot via ``python -m engine scan`` without replaying job
-    #: logs. The reference analog is the persisted ``error`` state
-    #: (``backend/app/services/file_service.py:66-81``).
-    dead_letter_rows: int = 0
+    #: records this commit quarantined instead of ingesting -- a
+    #: first-class manifest stat (round-4 VERDICT #8) so dead-letter
+    #: volume is queryable per snapshot via ``python -m engine scan``
+    #: without replaying job logs. UNIT: one per quarantined record
+    #: where the producer counts rows (e.g. media rows dead-lettered
+    #: with a decode_error), and one per quarantined INPUT when the
+    #: input never parsed (a rejected/undecodable CSV file has no
+    #: knowable row count) -- deliberately "records", not "rows"
+    #: (review finding). The reference analog is the persisted
+    #: ``error`` state (``backend/app/services/file_service.py:66-81``).
+    dead_letter_records: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -218,11 +222,11 @@ class Table:
             schema_json=header["schema"],
             files=files,
             schema_ipc=header.get("schema_ipc", ""),
-            dead_letter_rows=header.get("dead_letter_rows", 0),
+            dead_letter_records=header.get("dead_letter_records", 0),
         )
 
     def dead_letter_counts(self) -> dict:
-        """{snapshot_id: dead_letter_rows} for every committed snapshot
+        """{snapshot_id: dead_letter_records} for every committed snapshot
         (header-line reads only, like ``operation_snapshot`` -- never
         O(total manifest bytes)). Orphan snapshots past CURRENT are
         excluded: their commit never took effect."""
@@ -233,7 +237,7 @@ class Table:
                 continue
             with open(self._snap_path(sid)) as f:
                 header = json.loads(f.readline())
-            out[sid] = header.get("dead_letter_rows", 0)
+            out[sid] = header.get("dead_letter_records", 0)
         return out
 
     def operation_snapshot(self, operation: str) -> Optional[int]:
@@ -269,7 +273,7 @@ class Table:
         remove_files: Iterable[str] = (),
         schema: Optional[pa.Schema] = None,
         timestamp: Optional[float] = None,
-        dead_letter_rows: int = 0,
+        dead_letter_records: int = 0,
     ) -> Snapshot:
         """Atomically append a snapshot: parent's files - removed + added.
 
@@ -317,7 +321,7 @@ class Table:
                         "schema_ipc": schema_ipc,
                         "num_files": len(files),
                         "total_rows": sum(fe.rows for fe in files),
-                        "dead_letter_rows": int(dead_letter_rows),
+                        "dead_letter_records": int(dead_letter_records),
                     }
                 )
                 + "\n"
@@ -341,7 +345,7 @@ class Table:
             schema_json=schema_json,
             files=files,
             schema_ipc=schema_ipc,
-            dead_letter_rows=int(dead_letter_rows),
+            dead_letter_records=int(dead_letter_records),
         )
 
     # -- scan --------------------------------------------------------------

@@ -474,8 +474,24 @@ def build_ivf_index(
         a = (x @ ray.get(cref).T).argmax(axis=1)
         return t.append_column("__list", pa.array(a.astype(np.int64)))
 
-    listed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).sort("__list")
+    # materialize before the sort: Ray's sort-based shuffle consumes a
+    # lazy upstream twice (sample + sort) and would re-run the read +
+    # centroid matmul over the whole input (the ARCHITECTURE
+    # lazy-double-execution rule; spillable)
+    listed = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .sort("__list")
+    )
     table = Table.create(table_root)
+    # centroids are written BEFORE the manifest commit (versioned by
+    # the snapshot id the commit will take -- single-writer contract):
+    # a crash between the two leaves an orphan .npy that the loader
+    # ignores because CURRENT never advanced, so readers are never in a
+    # new-assignment/old-centroids split (review finding)
+    sid_next = (table.current_snapshot_id() or 0) + 1
+    np.save(_centroid_path(table, sid_next), c)
+    np.save(os.path.join(table.manifest_dir, "ivf_centroids.npy"), c)
     entries = write_files(
         listed,
         table.data_dir,
@@ -485,14 +501,42 @@ def build_ivf_index(
     )
     schema = pq.read_schema(entries[0].path) if entries else None
     table.commit("ivf-index", add_files=entries, schema=schema)
-    np.save(os.path.join(table.manifest_dir, "ivf_centroids.npy"), c)
     return table, c
 
 
-def load_ivf_centroids(table) -> np.ndarray:
+def _centroid_path(table, sid: int) -> str:
     import os
 
-    return np.load(os.path.join(table.manifest_dir, "ivf_centroids.npy"))
+    return os.path.join(table.manifest_dir, f"ivf_centroids.{sid:08d}.npy")
+
+
+def load_ivf_centroids(table) -> np.ndarray:
+    """Centroids of the CURRENT snapshot: the highest versioned
+    ``ivf_centroids.<sid>.npy`` with sid <= CURRENT (a crash between
+    centroid write and manifest commit leaves an orphan version the
+    loader ignores), falling back to the legacy unversioned file.
+    Raises a clear error on a table that was never IVF-indexed."""
+    import os
+    import re as _re
+
+    cur = table.current_snapshot_id()
+    best = None
+    if os.path.isdir(table.manifest_dir):
+        for n in os.listdir(table.manifest_dir):
+            m = _re.fullmatch(r"ivf_centroids\.(\d{8})\.npy", n)
+            if m and (cur is None or int(m.group(1)) <= cur):
+                if best is None or int(m.group(1)) > best:
+                    best = int(m.group(1))
+    if best is not None:
+        return np.load(_centroid_path(table, best))
+    legacy = os.path.join(table.manifest_dir, "ivf_centroids.npy")
+    if os.path.exists(legacy):
+        return np.load(legacy)
+    raise ValueError(
+        f"table at {table.root} has no IVF centroids -- not an IVF index "
+        "table? Build one with build_ivf_index first (or pass "
+        "--n-centroids with --retrain)."
+    )
 
 
 def _assign_lists(t: pa.Table, c: np.ndarray, vec_col: str) -> np.ndarray:
@@ -627,9 +671,13 @@ def reindex_ivf(
             return t.set_column(t.schema.get_field_index("__list"), "__list", a)
         return t.append_column("__list", a)
 
+    # materialize before the sort exchange: the lazy read + reassign
+    # chain would otherwise run TWICE (sample + sort) -- the same rule
+    # dedup_lines_global pins; the drifted subset spills if large
     listed = (
         ray.data.read_parquet(list(drifted), schema=schema)
         .map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
         .sort("__list")
     )
     entries = write_files(
@@ -640,11 +688,15 @@ def reindex_ivf(
         rows_per_file=rows_per_file,
     )
     new_schema = pq.read_schema(entries[0].path) if entries else None
+    if retrain:
+        # versioned centroid write BEFORE the commit (see
+        # build_ivf_index): if we crash here, CURRENT never advances
+        # and the orphan version is ignored -- probes stay on the old
+        # centroids AND the old assignment, never a mix
+        np.save(_centroid_path(table, (table.current_snapshot_id() or 0) + 1), c)
     table.commit(
         "ivf-reindex", add_files=entries, remove_files=drifted, schema=new_schema
     )
-    if retrain:
-        np.save(os.path.join(table.manifest_dir, "ivf_centroids.npy"), c)
     stats["files_rewritten"] = len(drifted)
     stats["rows_rewritten"] = sum(e.rows for e in entries)
     return table, stats

@@ -545,8 +545,10 @@ def repetition_stats(texts) -> tuple:
     return dup_line, top_bg
 
 
-#: \S+ tokenizer shared with dedup (same oracle class)
-_TOKEN_RE_WS = re.compile(r"\S+")
+#: compiled from the ONE canonical pattern above -- never restate the
+#: oracle-critical token class (review finding; dedup compiles its
+#: _TOKEN_RE from the same constant)
+_TOKEN_RE_WS = re.compile(TOKEN_PATTERN)
 
 
 def add_repetition_stats(ds, text_col: str = "text"):

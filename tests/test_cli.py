@@ -68,10 +68,10 @@ def test_cli_scan_reports_dead_letters(tmp_path, ray_session, capsys):
     # stat that survives commit and is queryable via `engine scan`
     path = _mk_table(tmp_path)
     t = Table.load(path)
-    t.commit("quarantine-test", add_files=[], dead_letter_rows=7)
+    t.commit("quarantine-test", add_files=[], dead_letter_records=7)
     # reload from disk: the stat must round-trip through the header
     t2 = Table.load(path)
-    assert t2.snapshot().dead_letter_rows == 7
+    assert t2.snapshot().dead_letter_records == 7
     counts = t2.dead_letter_counts()
     assert counts[t2.current_snapshot_id()] == 7
     assert sum(counts.values()) == 7
@@ -95,7 +95,7 @@ def test_cli_ingest_csv_quarantine_lands_in_manifest(tmp_path, ray_session, caps
     t = Table.load(str(tmp_path / "tbl2"))
     # however the bad file was classified (rejected or decode error),
     # the manifest carries it as a dead letter
-    assert t.snapshot().dead_letter_rows == len(out["rejected"]) + len(out["quarantined"]) >= 1
+    assert t.snapshot().dead_letter_records == len(out["rejected"]) + len(out["quarantined"]) >= 1
 
 
 def test_cli_reindex_ivf(tmp_path, ray_session, capsys):

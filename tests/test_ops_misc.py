@@ -485,6 +485,10 @@ def test_canon_keys_vectorized_matches_scalar():
         [2**62, -(2**62), 5],                  # large int64
         [1e300, float("inf"), -float("inf"), 0.1],  # huge/inf floats
         [2**70, 1],                            # bignum -> scalar fallback
+        [1, 2.5, 2**53 + 1],                   # mixed w/ big int: float64
+                                               # would round it (review
+                                               # finding) -> scalar path
+        [2**53 + 1, None, 0.5],                # same, with null
         ["a", "1", "1.5", ""],                 # strings stay verbatim
         [True, False, 1],                      # bools -> scalar fallback
         [],                                    # empty

@@ -4,6 +4,7 @@ pairs, LSH-bucketed variant recall."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from engine.similarity import (
@@ -541,3 +542,49 @@ def test_ivf_reindex_handles_invalid_vectors(ray_session, tmp_path):
     ).to_pandas().set_index("vec_id")["__list"]
     assert rows.loc[500] == -1 and rows.loc[501] == -1
     assert rows.loc[502] >= 0
+
+
+def test_ivf_centroid_versioning_crash_window(ray_session, tmp_path):
+    # review finding: retrain previously saved centroids AFTER the
+    # manifest commit, leaving a window where probes mixed new file
+    # assignments with old centroids. Versioned sidecars close it: an
+    # orphan centroid file written before a commit that never landed is
+    # ignored; after the commit the matching version is served.
+    import os
+
+    from engine.similarity import (
+        _centroid_path,
+        build_ivf_index,
+        load_ivf_centroids,
+        reindex_ivf,
+    )
+
+    t, m = _emb_table(120, d=8)
+    table, c0 = build_ivf_index(
+        ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=4,
+        rows_per_file=64,
+    )
+    assert (load_ivf_centroids(table) == c0).all()
+
+    # simulate the crash window: a versioned centroid file for a
+    # snapshot that never committed must NOT be served
+    fake = np.full_like(c0, 7.0)
+    np.save(_centroid_path(table, table.current_snapshot_id() + 5), fake)
+    assert (load_ivf_centroids(table) == c0).all()
+
+    # a real retrain advances both atomically (file first, commit after)
+    table, st = reindex_ivf(table, retrain=True)
+    assert st["retrained"]
+    c1 = load_ivf_centroids(table)
+    sid = table.current_snapshot_id()
+    assert os.path.exists(_centroid_path(table, sid))
+    assert not (c1 == 7.0).all()
+
+
+def test_load_centroids_clear_error_on_plain_table(ray_session, tmp_path):
+    from engine.manifest import Table
+    from engine.similarity import load_ivf_centroids
+
+    t = Table.create(str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="no IVF centroids"):
+        load_ivf_centroids(t)

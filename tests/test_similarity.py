@@ -588,3 +588,40 @@ def test_load_centroids_clear_error_on_plain_table(ray_session, tmp_path):
     t = Table.create(str(tmp_path / "plain"))
     with pytest.raises(ValueError, match="no IVF centroids"):
         load_ivf_centroids(t)
+
+
+def test_ivf_reindex_file_missing_list_column(ray_session, tmp_path):
+    # a schema-evolved upsert that never had __list at all: the drift
+    # check must read it as null (-2 sentinel) and rewrite the file
+    import pyarrow.parquet as pq
+
+    from engine.similarity import _assign_lists, build_ivf_index, reindex_ivf
+    from engine.writer import write_files
+
+    t, m = _emb_table(100, d=8)
+    table, cents = build_ivf_index(
+        ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=4,
+        rows_per_file=64,
+    )
+    up = pa.table({
+        "vec_id": pa.array([700, 701], pa.int64()),
+        "embedding": pa.array(
+            [[1.0] * 8, [0.5] * 8], pa.list_(pa.float32())
+        ),
+        # NO __list column
+    })
+    entries = write_files(
+        ray.data.from_arrow(up), table.data_dir, prefix="evolved",
+        stats_cols=("vec_id",),
+    )
+    table.commit("merge", add_files=entries)
+    table, st = reindex_ivf(table)
+    assert st["files_rewritten"] == 1 and st["rows_rewritten"] == 2
+    rows = pa.concat_tables([
+        pq.read_table(f.path, columns=["vec_id", "__list"])
+        for f in table.live_files()
+    ]).to_pandas().set_index("vec_id")["__list"]
+    assert rows.loc[700] >= 0 and rows.loc[701] >= 0
+    for f in table.live_files():
+        ft = pq.read_table(f.path)
+        assert (ft.column("__list").to_numpy() == _assign_lists(ft, cents, "embedding")).all()

@@ -273,6 +273,29 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_line_dedup_pages(sf_dir: str):
+    """The TABLE-lifecycle variant of line_dedup: ingest -> MERGE ->
+    `jobs.dedup_lines` (full rewrite committed through the manifest,
+    like cluster) -> scan. Winner = lexicographically smallest
+    (url, line_idx); NULL/'' url rows pass through untouched (the MERGE
+    null-key passthrough convention)."""
+    from engine.config import EngineConfig
+    from engine.jobs import dedup_lines, ingest, merge_into
+    from engine.manifest import Table
+    from engine.pages import read_pages
+
+    root = _tmp_root("linededup")
+    cfg = EngineConfig(merge_buckets=8)
+    t = Table.create(root)
+    ingest(t, read_pages(sf_dir, with_html=False), cfg, sanitize_cols=())
+    merge_into(t, cfg)
+    dedup_lines(t, cfg)
+    return _schema_stable(
+        t.scan(columns=["url", "text", "lang"]),
+        url="object", text="object", lang="object",
+    )
+
+
 def _q_rep_stats(sf_dir: str):
     """Gopher/MassiveText repetition filters: duplicate-line fraction
     and top word-bigram share per doc, 2dp both sides. Line hashing and
@@ -866,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_entropy": _q_quality_entropy,
         "rep_stats": _q_rep_stats,
         "line_dedup": _q_line_dedup,
+        "line_dedup_pages": _q_line_dedup_pages,
         "lang_counts": _q_lang_counts,
         "top_langs": _q_top_langs,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -934,6 +958,45 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     pages_scan = PAGES_CTE + "SELECT url, text, lang FROM pages"
+
+    # line_dedup_pages: MERGE (same CTE as merged_scan) then global
+    # line dedup with winner = min (url, idx); NULL/'' url rows pass
+    # through untouched. Keyed NULL text coalesces to '' (its one ''
+    # line went through the dedup).
+    line_dedup_pages = (
+        PAGES_CTE
+        + """
+        , merged AS (
+          SELECT url,
+            coalesce(arg_max(text, warc_ts) FILTER (text IS NOT NULL AND text <> ''),
+                     arg_min(text, warc_ts)) AS text,
+            coalesce(arg_max(lang, warc_ts) FILTER (lang IS NOT NULL AND lang <> ''),
+                     arg_min(lang, warc_ts)) AS lang
+          FROM pages WHERE url IS NOT NULL AND url <> '' GROUP BY url)
+        , allr AS (
+          SELECT url, text, lang FROM merged
+          UNION ALL
+          SELECT url, text, lang FROM pages WHERE url IS NULL OR url = '')
+        , l AS (
+          SELECT url, u.i AS idx, u.line FROM (
+            SELECT url, unnest(list_transform(generate_series(1, len(ls)),
+                               i -> {'i': i, 'line': ls[i]})) AS u
+            FROM (SELECT url, str_split(coalesce(text, ''), chr(10)) AS ls
+                  FROM allr WHERE url IS NOT NULL AND url <> '')))
+        , w AS (SELECT line, min(url) AS wurl FROM l GROUP BY line)
+        , w2 AS (SELECT l.line, w.wurl, min(l.idx) AS widx FROM l
+            JOIN w ON l.line = w.line AND l.url = w.wurl GROUP BY l.line, w.wurl)
+        , kept AS (SELECT l.url, l.idx, l.line FROM l
+            JOIN w2 ON l.line = w2.line WHERE l.url = w2.wurl AND l.idx = w2.widx)
+        , o AS (SELECT url, string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM kept GROUP BY url)
+        SELECT a.url, coalesce(o.text, '') AS text, a.lang
+        FROM allr a LEFT JOIN o ON a.url = o.url
+        WHERE a.url IS NOT NULL AND a.url <> ''
+        UNION ALL
+        SELECT url, text, lang FROM allr WHERE url IS NULL OR url = ''
+        """
+    )
 
     # Python unicode \s as an explicit RE2 class: the engine tokenizes
     # with Python \S+ (textstats TOKEN_PATTERN, dedup shingles), while
@@ -1212,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, ROUND(coalesce(h.ent, 0.0), 2) AS entropy"
             " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
         ),
+        "line_dedup_pages": line_dedup_pages,
         # C4 global line dedup: winner = min doc then min idx per
         # distinct line; docs rebuilt from survivors in order (a doc
         # losing every line keeps ''). NULL text = one empty line.

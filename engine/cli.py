@@ -14,6 +14,7 @@ to ``ray job submit`` on a real cluster::
     python -m engine topk    --table T --order warc_ts --k 10 [--by lang] [--tie url]
     python -m engine top-terms --table T [--k 5]
     python -m engine reindex --table T [--retrain] [--vec-col embedding]
+    python -m engine dedup-lines --table T [--key-col url]
 
 This is the only module besides bench.py and the test fixture that owns
 a Ray session (guarded: respects an already-initialised Ray).
@@ -94,6 +95,10 @@ def main(argv=None) -> int:
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--lang-col", default="lang")
+
+    sp = add("dedup-lines")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--key-col", default="url")
 
     sp = add("reindex")
     sp.add_argument("--id-col", default="vec_id")
@@ -187,6 +192,9 @@ def main(argv=None) -> int:
             "dead_letters": snap.dead_letter_records,
             "dead_letters_total": sum(dl.values()),
         }
+    elif args.cmd == "dedup-lines":
+        t = Table.load(args.table)
+        out = jobs.dedup_lines(t, cfg, text_col=args.text_col, key_col=args.key_col)
     elif args.cmd == "reindex":
         from engine.similarity import reindex_ivf
 

@@ -596,6 +596,191 @@ def cluster(
     return {"snapshot_id": snap.snapshot_id, "files": len(entries), "rows": snap.total_rows}
 
 
+def dedup_lines(
+    table: Table,
+    cfg: Optional[EngineConfig] = None,
+    text_col: str = "text",
+    key_col: str = "url",
+    rows_per_file: Optional[int] = None,
+    job_id: Optional[str] = None,
+) -> dict:
+    """Maintenance op: C4-style GLOBAL line dedup committed through the
+    snapshot lifecycle (full rewrite, like cluster). A line ('\\n'
+    split of ``text_col``) survives only in the row with the
+    lexicographically smallest ``(key, line_idx)`` among every
+    occurrence corpus-wide; each row's text is reassembled from its
+    surviving lines.
+
+    Partitioning assumptions (documented): keys are UNIQUE for the
+    deduped population -- run AFTER merge (the LWW merge leaves one row
+    per url); rows with NULL/'' keys pass through untouched, the same
+    null-key passthrough convention MERGE follows. Winner order is the
+    KEY's lexicographic order (SQL ``min(url)``), so the op has an
+    exact DuckDB mirror.
+
+    Scale shape (same as :func:`engine.dedup.dedup_lines_global`):
+    pass 1 exchanges only ``(h1, h2, key, idx)`` line triples and
+    emits loser coordinates; pass 2 is the rewrite itself -- a full
+    table pass that any rewrite op pays, co-partitioned by key hash so
+    each bucket rebuilds locally. Returns the commit summary.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from engine.dedup import _pairs_buckets, hash64_strings
+
+    cfg = cfg if cfg is not None else EngineConfig()
+    job_id = job_id or uuid.uuid4().hex[:8]
+    snap = table.snapshot()
+    live = snap.files
+    if not live:
+        return {"snapshot_id": snap.snapshot_id, "files": 0, "rows": 0}
+    ds = table.scan()
+    num_buckets = _pairs_buckets(ds)
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        ks, lines_all, lens = [], [], []
+        for k, x in zip(keys, texts):
+            if k is None or k == "":
+                continue  # passthrough rows contribute no lines
+            ls = (x if isinstance(x, str) else "").split("\n")
+            ks.append(k)
+            lines_all.extend(ls)
+            lens.append(len(ls))
+        if not ks:
+            return pa.table(
+                {"h1": pa.array([], pa.uint64()), "h2": pa.array([], pa.uint64()),
+                 "key": pa.array([], pa.string()), "idx": pa.array([], pa.int64()),
+                 "__bucket": pa.array([], pa.int64())}
+            )
+        lens = np.array(lens, np.int64)
+        flat = np.asarray(lines_all, dtype=object)
+        h1 = pd.util.hash_array(flat).astype(np.uint64)
+        h2 = pd.util.hash_array(flat, hash_key="f0e1d2c3b4a59687").astype(np.uint64)
+        key_rep = np.repeat(np.asarray(ks, dtype=object), lens)
+        idx = (
+            np.arange(len(flat), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens) + 1
+        )
+        return pa.table(
+            {"h1": pa.array(h1), "h2": pa.array(h2),
+             "key": pa.array(key_rep, pa.string()), "idx": pa.array(idx),
+             "__bucket": pa.array((h1 % np.uint64(num_buckets)).astype(np.int64))}
+        )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        # winner per distinct line = min (key, idx); key order is the
+        # SQL min(url) the oracle mirrors. ONE vectorized sort per
+        # bucket (pandas C string sort), no per-line Python.
+        df = df.sort_values(["h1", "h2", "key", "idx"], kind="stable")
+        h1 = df["h1"].to_numpy()
+        h2 = df["h2"].to_numpy()
+        first = np.ones(len(df), bool)
+        if len(df) > 1:
+            np.logical_or(h1[1:] != h1[:-1], h2[1:] != h2[:-1], out=first[1:])
+        return df.loc[~first, ["key", "idx"]]
+
+    drops = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # lazy sort upstream executes twice otherwise
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: losers(df.drop(columns=["__bucket"])), batch_format="pandas"
+        )
+    )
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        valid = pc.and_kleene(pc.is_valid(keys), pc.not_equal(keys, ""))
+        h = hash64_strings(pc.fill_null(keys.combine_chunks(), ""))
+        bucket = np.where(
+            pc.fill_null(valid, False).to_numpy(zero_copy_only=False),
+            (h % np.uint64(num_buckets)).astype(np.int64),
+            0,
+        )
+        t = t.append_column("__dl_idx", pa.nulls(len(t), pa.int64()))
+        t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def drop_side(t: pa.Table) -> pa.Table:
+        h = hash64_strings(t.column("key").combine_chunks())
+        out = {name: pa.nulls(len(t), typ) for name, typ in zip(vis_schema.names, vis_schema.types)}
+        out[key_col] = t.column("key").cast(vis_schema.field(key_col).type)
+        return pa.table(
+            {**out,
+             "__dl_idx": t.column("idx").cast(pa.int64()),
+             "__side": pa.array(np.ones(len(t), np.int8)),
+             "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64))}
+        )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        corp = df[df["__side"] == 0].drop(columns=["__side", "__dl_idx"])
+        dr = df[df["__side"] == 1]
+        keys = corp[key_col].to_numpy(dtype=object)
+        texts = corp[text_col].to_numpy(dtype=object)
+        ks = pd.Series(keys)
+        keyed = (ks.notna() & (ks != "")).to_numpy()
+        if len(dr):
+            dropped = {
+                k: np.sort(g.to_numpy()).astype(np.int64)
+                for k, g in dr.groupby(key_col)["__dl_idx"]
+            }
+            touched = np.flatnonzero(
+                pd.Series(keys).isin(dropped.keys()).to_numpy()
+            )
+            for i in touched:
+                t = texts[i] if isinstance(texts[i], str) else ""
+                lines = t.split("\n")
+                keep = np.ones(len(lines), bool)
+                keep[dropped[keys[i]] - 1] = False
+                texts[i] = "\n".join([l for l, k in zip(lines, keep) if k])
+        # keyed rows always come out with a (possibly empty) STRING --
+        # their lines went through the dedup (NULL text = one '' line),
+        # matching the oracle's coalesce. Passthrough rows keep NULL.
+        fix = keyed & pd.isna(pd.Series(texts)).to_numpy()
+        texts[fix] = ""
+        return corp.assign(**{text_col: texts})
+
+    mschema = snap.arrow_schema()
+    vis_schema = pa.schema([f for f in mschema if not f.name.startswith("__")])
+    both = ds.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        drops.map_batches(drop_side, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    out = both.groupby("__bucket").map_groups(
+        lambda df: rebuild(df.drop(columns=["__bucket"])), batch_format="pandas"
+    )
+    # restore manifest types: the pandas union/rebuild round-trip can
+    # upcast null-bearing columns (int64 -> float64); values are exact,
+    # the cast is lossless
+    out = out.map_batches(
+        lambda t: align_to_schema(t, vis_schema),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    entries = write_files(
+        out,
+        table.data_dir,
+        prefix=f"linededup-{job_id}",
+        stats_cols=tuple(cfg.stats_cols),
+        rows_per_file=rows_per_file,
+    )
+    old_paths = [f.path for f in live]
+    snap2 = table.commit(
+        f"dedup-lines:{job_id}", add_files=entries, remove_files=old_paths
+    )
+    return {
+        "snapshot_id": snap2.snapshot_id,
+        "files": len(entries),
+        "rows": snap2.total_rows,
+    }
+
+
 def expire(table: Table, cfg: Optional[EngineConfig] = None, now: Optional[float] = None) -> dict:
     cfg = cfg if cfg is not None else EngineConfig()
     return table.expire_snapshots(cfg.snapshot_ttl_seconds, now=now)

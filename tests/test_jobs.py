@@ -535,3 +535,52 @@ def test_merge_wide_routing_matrix_fake_topology(tmp_table_root, ray_session, mo
     # dead nodes do not count: 1 alive + 3 dead is a single-node host
     monkeypatch.setattr(ray_mod, "nodes", lambda: fake_nodes(1, n_dead=3))
     assert _auto_wide_cols(t, on) == []
+
+
+def test_dedup_lines_job_semantics(tmp_table_root, ray_session):
+    # table-lifecycle C4 line dedup: winner = min (url, idx); NULL/''
+    # url rows pass through untouched; keyed NULL text coalesces to ''
+    from engine.jobs import dedup_lines, ingest
+
+    t = pa.table({
+        "url": pa.array(["u/a", "u/b", "u/c", None, "", "u/n"], pa.string()),
+        "warc_ts": pa.array([1, 2, 3, 4, 5, 6], pa.timestamp("us")),
+        "text": pa.array(
+            ["x\ny\nz", "y\nw", "x\nx\nq", "keep\nkeep", "y", None],
+            pa.string(),
+        ),
+        "lang": pa.array(["en"] * 6, pa.string()),
+    })
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(t), CFG, sanitize_cols=())
+    out = dedup_lines(tab, CFG)
+    assert out["rows"] == 6
+    df = (
+        tab.scan()
+        .to_pandas()
+        .sort_values("url", na_position="first")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(df.url.where(df.url.notna(), "<null>"), df.text))
+    assert got["u/a"] == "x\ny\nz"      # min url keeps everything
+    assert got["u/b"] == "w"            # 'y' first occurred in u/a
+    assert got["u/c"] == "q"            # both 'x' occurrences dropped
+    assert got["<null>"] == "keep\nkeep"  # passthrough untouched
+    assert got[""] == "y"               # passthrough keeps dup line
+    assert got["u/n"] == ""             # keyed NULL text -> '' line deduped
+    # types preserved through the rewrite
+    assert str(df.warc_ts.dtype).startswith("datetime64")
+
+
+def test_cli_dedup_lines(tmp_table_root, ray_session, capsys):
+    import json as _json
+
+    from engine import cli
+    from engine.jobs import ingest
+    from engine.pages import synth_pages_table
+
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(synth_pages_table(200)), CFG, sanitize_cols=())
+    assert cli.main(["dedup-lines", "--table", tmp_table_root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 200 and out["files"] >= 1

@@ -632,6 +632,18 @@ def dedup_lines(
 
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
+    # commit-level idempotence (the compact/ingest pattern): a rerun of
+    # a job whose snapshot already landed -- driver died AFTER the
+    # commit -- must be a no-op, not a second full rewrite
+    prior = table.operation_snapshot(f"dedup-lines:{job_id}")
+    if prior is not None:
+        psnap = table.snapshot(prior)
+        return {
+            "snapshot_id": prior,
+            "files": len(psnap.files),
+            "rows": psnap.total_rows,
+            "already_committed": True,
+        }
     snap = table.snapshot()
     live = snap.files
     if not live:

@@ -584,3 +584,17 @@ def test_cli_dedup_lines(tmp_table_root, ray_session, capsys):
     assert cli.main(["dedup-lines", "--table", tmp_table_root]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 200 and out["files"] >= 1
+
+
+def test_dedup_lines_idempotent_rerun(tmp_table_root, ray_session):
+    from engine.jobs import dedup_lines, ingest
+    from engine.pages import synth_pages_table
+
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(synth_pages_table(100)), CFG, sanitize_cols=())
+    out1 = dedup_lines(tab, CFG, job_id="nightly")
+    sid = tab.current_snapshot_id()
+    out2 = dedup_lines(tab, CFG, job_id="nightly")  # rerun after commit
+    assert out2.get("already_committed") is True
+    assert tab.current_snapshot_id() == sid  # no second rewrite
+    assert out2["rows"] == out1["rows"]

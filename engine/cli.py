@@ -15,6 +15,7 @@ to ``ray job submit`` on a real cluster::
     python -m engine top-terms --table T [--k 5]
     python -m engine reindex --table T [--retrain] [--vec-col embedding]
     python -m engine dedup-lines --table T [--key-col url]
+    python -m engine history --table T [--limit 20]
 
 This is the only module besides bench.py and the test fixture that owns
 a Ray session (guarded: respects an already-initialised Ray).
@@ -95,6 +96,9 @@ def main(argv=None) -> int:
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--lang-col", default="lang")
+
+    sp = add("history")
+    sp.add_argument("--limit", type=int, default=20)
 
     sp = add("dedup-lines")
     sp.add_argument("--text-col", default="text")
@@ -192,6 +196,25 @@ def main(argv=None) -> int:
             "dead_letters": snap.dead_letter_records,
             "dead_letters_total": sum(dl.values()),
         }
+    elif args.cmd == "history":
+        t = Table.load(args.table)
+        cur = t.current_snapshot_id()
+        hist = []
+        for sid in t.snapshot_ids():
+            if cur is not None and sid > cur:
+                continue  # orphan from a crash before the CURRENT swap
+            s = t.snapshot(sid)
+            hist.append(
+                {
+                    "snapshot_id": sid,
+                    "operation": s.operation,
+                    "files": len(s.files),
+                    "rows": s.total_rows,
+                    "dead_letters": s.dead_letter_records,
+                    "timestamp": s.timestamp,
+                }
+            )
+        out = hist[-args.limit :]
     elif args.cmd == "dedup-lines":
         t = Table.load(args.table)
         out = jobs.dedup_lines(t, cfg, text_col=args.text_col, key_col=args.key_col)

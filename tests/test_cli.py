@@ -129,3 +129,15 @@ def test_cli_reindex_ivf(tmp_path, ray_session, capsys):
     assert cli.main(["reindex", "--table", root]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["files_rewritten"] == 0
+
+
+def test_cli_history_lists_snapshots(tmp_path, ray_session, capsys):
+    path = _mk_table(tmp_path)
+    t = Table.load(path)
+    t.commit("quarantine-x", add_files=[], dead_letter_records=3)
+    assert cli.main(["history", "--table", path]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["operation"] for h in hist][:1] == ["create"]
+    assert hist[-1]["operation"] == "quarantine-x"
+    assert hist[-1]["dead_letters"] == 3
+    assert all("rows" in h and "files" in h for h in hist)

@@ -598,3 +598,25 @@ def test_dedup_lines_idempotent_rerun(tmp_table_root, ray_session):
     assert out2.get("already_committed") is True
     assert tab.current_snapshot_id() == sid  # no second rewrite
     assert out2["rows"] == out1["rows"]
+
+
+def test_dedup_lines_preserves_binary_payloads(tmp_table_root, ray_session):
+    # the rewrite must carry html BYTES through the exchange untouched
+    from engine.jobs import dedup_lines, ingest
+
+    html = [b"<html>\x00\xffA</html>", b"", None, b"zz" * 100]
+    t = pa.table({
+        "url": pa.array(["u/1", "u/2", "u/3", "u/4"], pa.string()),
+        "warc_ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        "text": pa.array(["a\nb", "b\nc", None, "a"], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "html": pa.array(html, pa.large_binary()),
+    })
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(t), CFG, sanitize_cols=())
+    dedup_lines(tab, CFG)
+    df = tab.scan().to_pandas().sort_values("url").reset_index(drop=True)
+    got = [None if v is None or v is pd.NA or (isinstance(v, float)) else bytes(v)
+           for v in df.html]
+    assert got == html
+    assert df.text.tolist() == ["a\nb", "c", "", ""]

@@ -4,6 +4,7 @@ schema evolution (SURVEY 3.1 trace, FIXTURES F5)."""
 import os
 
 import pandas as pd
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -620,3 +621,58 @@ def test_dedup_lines_preserves_binary_payloads(tmp_table_root, ray_session):
            for v in df.html]
     assert got == html
     assert df.text.tolist() == ["a\nb", "c", "", ""]
+
+
+def test_dedup_lines_job_duckdb_parity_fuzz(tmp_table_root, ray_session):
+    # random multi-line corpus with unique keys + null/'' passthroughs:
+    # the job's scan must equal an independent SQL line-dedup pipeline
+    import duckdb
+
+    from engine.jobs import dedup_lines, ingest
+
+    rng = np.random.default_rng(23)
+    pool = [f"ln{i}" for i in range(30)] + ["", " ", "x\ty"]
+    urls, texts = [], []
+    for i in range(150):
+        k = int(rng.integers(0, 6))
+        urls.append(
+            None if i % 31 == 0 else ("" if i % 37 == 0 else f"u/{i:03d}")
+        )
+        texts.append("\n".join(rng.choice(pool, k)) if k else "")
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(np.arange(150), pa.timestamp("us")),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 150, pa.string()),
+    })
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(t), CFG, sanitize_cols=())
+    dedup_lines(tab, CFG)
+    got = tab.scan(columns=["url", "text"]).to_pandas()
+
+    con = duckdb.connect()
+    con.register("src", t.to_pandas())
+    want = con.execute("""
+        WITH l AS (
+          SELECT url, u.i AS idx, u.line FROM (
+            SELECT url, unnest(list_transform(generate_series(1, len(ls)),
+                               i -> {'i': i, 'line': ls[i]})) AS u
+            FROM (SELECT url, str_split(coalesce(text, ''), chr(10)) AS ls
+                  FROM src WHERE url IS NOT NULL AND url <> '')))
+        , w AS (SELECT line, min(url) AS wurl FROM l GROUP BY line)
+        , w2 AS (SELECT l.line, w.wurl, min(l.idx) AS widx FROM l
+            JOIN w ON l.line = w.line AND l.url = w.wurl GROUP BY l.line, w.wurl)
+        , kept AS (SELECT l.url, l.idx, l.line FROM l
+            JOIN w2 ON l.line = w2.line WHERE l.url = w2.wurl AND l.idx = w2.widx)
+        , o AS (SELECT url, string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM kept GROUP BY url)
+        SELECT a.url, coalesce(o.text, '') AS text
+        FROM src a LEFT JOIN o ON a.url = o.url
+        WHERE a.url IS NOT NULL AND a.url <> ''
+        UNION ALL
+        SELECT url, text FROM src WHERE url IS NULL OR url = ''
+    """).fetchdf()
+    key = ["url", "text"]
+    g = got.sort_values(key, na_position="first").reset_index(drop=True)
+    w = want.sort_values(key, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -942,30 +942,11 @@ def oracle_sql() -> dict[str, str]:
     from engine.redact import oracle_expr as _redact_oracle_expr
 
     redact_expr = _redact_oracle_expr("text")
-    merged_scan = (
-        PAGES_CTE
-        + """
-        , merged AS (
-          SELECT url,
-            coalesce(arg_max(text, warc_ts) FILTER (text IS NOT NULL AND text <> ''),
-                     arg_min(text, warc_ts)) AS text,
-            coalesce(arg_max(lang, warc_ts) FILTER (lang IS NOT NULL AND lang <> ''),
-                     arg_min(lang, warc_ts)) AS lang
-          FROM pages WHERE url IS NOT NULL AND url <> '' GROUP BY url)
-        SELECT url, text, lang FROM merged
-        UNION ALL
-        SELECT url, text, lang FROM pages WHERE url IS NULL OR url = ''
-        """
-    )
-    pages_scan = PAGES_CTE + "SELECT url, text, lang FROM pages"
-
-    # line_dedup_pages: MERGE (same CTE as merged_scan) then global
-    # line dedup with winner = min (url, idx); NULL/'' url rows pass
-    # through untouched. Keyed NULL text coalesces to '' (its one ''
-    # line went through the dedup).
-    line_dedup_pages = (
-        PAGES_CTE
-        + """
+    # ONE definition of the MERGE-semantics SQL (LWW by warc_ts,
+    # non-empty coalesce, NULL/''-key passthrough) -- shared by every
+    # oracle that consumes post-merge rows, so the parity-critical
+    # semantics can never diverge between them (review finding)
+    merged_allr = """
         , merged AS (
           SELECT url,
             coalesce(arg_max(text, warc_ts) FILTER (text IS NOT NULL AND text <> ''),
@@ -977,6 +958,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT url, text, lang FROM merged
           UNION ALL
           SELECT url, text, lang FROM pages WHERE url IS NULL OR url = '')
+        """
+    merged_scan = PAGES_CTE + merged_allr + "SELECT url, text, lang FROM allr"
+    pages_scan = PAGES_CTE + "SELECT url, text, lang FROM pages"
+
+    # line_dedup_pages: MERGE (same CTE as merged_scan) then global
+    # line dedup with winner = min (url, idx); NULL/'' url rows pass
+    # through untouched. Keyed NULL text coalesces to '' (its one ''
+    # line went through the dedup).
+    line_dedup_pages = (
+        PAGES_CTE
+        + merged_allr
+        + """
         , l AS (
           SELECT url, u.i AS idx, u.line FROM (
             SELECT url, unnest(list_transform(generate_series(1, len(ls)),

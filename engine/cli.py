@@ -199,22 +199,24 @@ def main(argv=None) -> int:
     elif args.cmd == "history":
         t = Table.load(args.table)
         cur = t.current_snapshot_id()
-        hist = []
-        for sid in t.snapshot_ids():
-            if cur is not None and sid > cur:
-                continue  # orphan from a crash before the CURRENT swap
-            s = t.snapshot(sid)
-            hist.append(
+        # slice the (cheap, sorted-int) id list FIRST: parsing every
+        # snapshot's full file list to keep the last N would be
+        # O(total manifest bytes) on a long-lived table
+        sids = [s for s in t.snapshot_ids() if cur is None or s <= cur]
+        sids = sids[-args.limit :] if args.limit > 0 else []
+        out = []
+        for sid in sids:
+            h = t.snapshot_header(sid)
+            out.append(
                 {
                     "snapshot_id": sid,
-                    "operation": s.operation,
-                    "files": len(s.files),
-                    "rows": s.total_rows,
-                    "dead_letters": s.dead_letter_records,
-                    "timestamp": s.timestamp,
+                    "operation": h["operation"],
+                    "files": h["num_files"],
+                    "rows": h["total_rows"],
+                    "dead_letters": h.get("dead_letter_records", 0),
+                    "timestamp": h["timestamp"],
                 }
             )
-        out = hist[-args.limit :]
     elif args.cmd == "dedup-lines":
         t = Table.load(args.table)
         out = jobs.dedup_lines(t, cfg, text_col=args.text_col, key_col=args.key_col)

@@ -1719,6 +1719,34 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"
 # C4-style global line deduplication
 # ---------------------------------------------------------------------------
 
+#: second independent 64-bit line-hash key: the (h1, h2) pair bounds
+#: distinct-line collisions at p ~ n^2 / 2^128 (one 64-bit key has a
+#: real collision rate at 10^12 lines). ONE definition -- shared by the
+#: operator below and the table-lifecycle job (engine.jobs.dedup_lines)
+#: so the exchange semantics can never diverge (review finding).
+_LINE_HASH_KEY2 = "f0e1d2c3b4a59687"
+
+
+def line_hash_pair(flat_lines: np.ndarray) -> tuple:
+    """(h1, h2) 64-bit content-hash pair for a flat object array of
+    line strings."""
+    h1 = pd.util.hash_array(flat_lines).astype(np.uint64)
+    h2 = pd.util.hash_array(flat_lines, hash_key=_LINE_HASH_KEY2).astype(np.uint64)
+    return h1, h2
+
+
+def line_positions(lens: np.ndarray) -> np.ndarray:
+    """1-based within-doc line indexes for concatenated per-doc
+    segments -- the SQL ``generate_series(1, len)`` convention every
+    line-dedup oracle mirrors."""
+    n = int(lens.sum())
+    return (
+        np.arange(n, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + 1
+    )
+
+
 def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
                        num_buckets: int | None = None):
     """Global line-level dedup (the C4 pipeline's cross-document line
@@ -1750,14 +1778,9 @@ def dedup_lines_global(ds, text_col: str = "text", id_col: str = "doc_id",
         lines_per = [x.split("\n") for x in texts]
         lens = np.array([len(ls) for ls in lines_per], np.int64)
         flat = np.asarray([l for ls in lines_per for l in ls], dtype=object)
-        h1 = pd.util.hash_array(flat).astype(np.uint64)
-        h2 = pd.util.hash_array(flat, hash_key="f0e1d2c3b4a59687").astype(np.uint64)
+        h1, h2 = line_hash_pair(flat)
         doc = np.repeat(ids, lens)
-        idx = (
-            np.arange(len(flat), dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens)
-            + 1  # 1-based, mirroring the SQL generate_series
-        )
+        idx = line_positions(lens)
         return pa.table(
             {
                 "h1": pa.array(h1), "h2": pa.array(h2),

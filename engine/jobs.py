@@ -628,7 +628,7 @@ def dedup_lines(
     import pandas as pd
     import pyarrow.compute as pc
 
-    from engine.dedup import _pairs_buckets, hash64_strings
+    from engine.dedup import _pairs_buckets, hash64_strings, line_hash_pair, line_positions
 
     cfg = cfg if cfg is not None else EngineConfig()
     job_id = job_id or uuid.uuid4().hex[:8]
@@ -670,13 +670,9 @@ def dedup_lines(
             )
         lens = np.array(lens, np.int64)
         flat = np.asarray(lines_all, dtype=object)
-        h1 = pd.util.hash_array(flat).astype(np.uint64)
-        h2 = pd.util.hash_array(flat, hash_key="f0e1d2c3b4a59687").astype(np.uint64)
+        h1, h2 = line_hash_pair(flat)  # ONE hash-pair definition
         key_rep = np.repeat(np.asarray(ks, dtype=object), lens)
-        idx = (
-            np.arange(len(flat), dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens) + 1
-        )
+        idx = line_positions(lens)  # 1-based SQL convention, shared
         return pa.table(
             {"h1": pa.array(h1), "h2": pa.array(h2),
              "key": pa.array(key_rep, pa.string()), "idx": pa.array(idx),
@@ -728,33 +724,68 @@ def dedup_lines(
              "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64))}
         )
 
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        corp = df[df["__side"] == 0].drop(columns=["__side", "__dl_idx"])
-        dr = df[df["__side"] == 1]
-        keys = corp[key_col].to_numpy(dtype=object)
-        texts = corp[text_col].to_numpy(dtype=object)
+    def rebuild(t: pa.Table) -> pa.Table:
+        # ARROW fold, deliberately: the union's drop-side rows are
+        # all-null in every non-key column, and a pandas group would
+        # float64-upcast null-bearing int64 columns -- silently
+        # corrupting values past 2^53 on the rewrite (the CLAUDE.md
+        # 2^53 hazard class; review finding). Arrow carries typed nulls
+        # losslessly, so user columns never leave Arrow here.
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        corp = t.filter(pa.array(side == 0)).drop_columns(["__side", "__dl_idx"])
+        drt = t.filter(pa.array(side == 1))
+        keys = corp.column(key_col).to_numpy(zero_copy_only=False)
+        texts = corp.column(text_col).to_pylist()
         ks = pd.Series(keys)
         keyed = (ks.notna() & (ks != "")).to_numpy()
-        if len(dr):
+        # documented precondition, validated LOUDLY: keys co-locate by
+        # hash, so duplicates are visible inside their bucket. Applying
+        # one key's drop indexes to two different rows would delete the
+        # wrong lines (or crash) -- refuse instead (review finding).
+        if keyed.any():
+            dup = ks[keyed].duplicated()
+            if dup.any():
+                k = ks[keyed][dup].iloc[0]
+                raise ValueError(
+                    f"dedup_lines requires unique {key_col!r} keys but "
+                    f"{k!r} appears more than once -- run MERGE first "
+                    "(NULL/'' keys pass through and may repeat)"
+                )
+        if len(drt):
+            dk = drt.column(key_col).to_numpy(zero_copy_only=False)
+            di = drt.column("__dl_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(dk, kind="stable")
+            dk, di = dk[order], di[order]
+            starts = np.ones(len(dk), bool)
+            starts[1:] = dk[1:] != dk[:-1]
+            s_idx = np.flatnonzero(starts)
             dropped = {
-                k: np.sort(g.to_numpy()).astype(np.int64)
-                for k, g in dr.groupby(key_col)["__dl_idx"]
+                dk[s]: np.sort(di[s:e])
+                for s, e in zip(s_idx, np.append(s_idx[1:], len(dk)))
             }
-            touched = np.flatnonzero(
-                pd.Series(keys).isin(dropped.keys()).to_numpy()
-            )
+            touched = np.flatnonzero(ks.isin(dropped.keys()).to_numpy())
             for i in touched:
-                t = texts[i] if isinstance(texts[i], str) else ""
-                lines = t.split("\n")
+                x = texts[i] if isinstance(texts[i], str) else ""
+                lines = x.split("\n")
                 keep = np.ones(len(lines), bool)
                 keep[dropped[keys[i]] - 1] = False
                 texts[i] = "\n".join([l for l, k in zip(lines, keep) if k])
         # keyed rows always come out with a (possibly empty) STRING --
         # their lines went through the dedup (NULL text = one '' line),
         # matching the oracle's coalesce. Passthrough rows keep NULL.
-        fix = keyed & pd.isna(pd.Series(texts)).to_numpy()
-        texts[fix] = ""
-        return corp.assign(**{text_col: texts})
+        # Non-str nulls (None / nan, depending on the block's transit
+        # format) normalize through the isinstance check.
+        texts = [
+            (x if isinstance(x, str) else ("" if k else None))
+            for x, k in zip(texts, keyed)
+        ]
+        # type from the MANIFEST schema, not the group block: a group
+        # whose text slice is all-null can arrive null-TYPED, and
+        # pa.array(strings, type=null) raises "Invalid null value"
+        ti = corp.schema.get_field_index(text_col)
+        return corp.set_column(
+            ti, text_col, pa.array(texts, vis_schema.field(text_col).type)
+        )
 
     mschema = snap.arrow_schema()
     vis_schema = pa.schema([f for f in mschema if not f.name.startswith("__")])
@@ -765,11 +796,10 @@ def dedup_lines(
         .materialize()
     )
     out = both.groupby("__bucket").map_groups(
-        lambda df: rebuild(df.drop(columns=["__bucket"])), batch_format="pandas"
+        lambda t: rebuild(t.drop_columns(["__bucket"])), batch_format="pyarrow"
     )
-    # restore manifest types: the pandas union/rebuild round-trip can
-    # upcast null-bearing columns (int64 -> float64); values are exact,
-    # the cast is lossless
+    # safety net: align output blocks to the manifest's visible schema
+    # (the Arrow fold preserves types by construction; this pins it)
     out = out.map_batches(
         lambda t: align_to_schema(t, vis_schema),
         batch_format="pyarrow",

@@ -240,6 +240,14 @@ class Table:
             out[sid] = header.get("dead_letter_records", 0)
         return out
 
+    def snapshot_header(self, snapshot_id: int) -> dict:
+        """ONE header line of a snapshot -- operation, num_files,
+        total_rows, dead_letter_records -- without deserializing the
+        file list (O(1) vs O(manifest bytes); the ``engine history``
+        path)."""
+        with open(self._snap_path(snapshot_id)) as f:
+            return json.loads(f.readline())
+
     def operation_snapshot(self, operation: str) -> Optional[int]:
         """Snapshot id of the commit with exactly this operation string,
         or None. Used to make job commits idempotent: a rerun of a job

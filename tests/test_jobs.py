@@ -577,22 +577,25 @@ def test_cli_dedup_lines(tmp_table_root, ray_session, capsys):
     import json as _json
 
     from engine import cli
-    from engine.jobs import ingest
+    from engine.jobs import ingest, merge_into
     from engine.pages import synth_pages_table
 
     tab = Table.create(tmp_table_root)
     ingest(tab, ray.data.from_arrow(synth_pages_table(200)), CFG, sanitize_cols=())
+    merge_into(tab, CFG)  # dedup-lines requires unique keys
+    n = tab.snapshot().total_rows
     assert cli.main(["dedup-lines", "--table", tmp_table_root]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["rows"] == 200 and out["files"] >= 1
+    assert out["rows"] == n and out["files"] >= 1
 
 
 def test_dedup_lines_idempotent_rerun(tmp_table_root, ray_session):
-    from engine.jobs import dedup_lines, ingest
+    from engine.jobs import dedup_lines, ingest, merge_into
     from engine.pages import synth_pages_table
 
     tab = Table.create(tmp_table_root)
     ingest(tab, ray.data.from_arrow(synth_pages_table(100)), CFG, sanitize_cols=())
+    merge_into(tab, CFG)  # dedup-lines requires unique keys
     out1 = dedup_lines(tab, CFG, job_id="nightly")
     sid = tab.current_snapshot_id()
     out2 = dedup_lines(tab, CFG, job_id="nightly")  # rerun after commit
@@ -676,3 +679,20 @@ def test_dedup_lines_job_duckdb_parity_fuzz(tmp_table_root, ray_session):
     g = got.sort_values(key, na_position="first").reset_index(drop=True)
     w = want.sort_values(key, na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_dedup_lines_refuses_duplicate_keys(tmp_table_root, ray_session):
+    # review finding: applying one key's drop indexes to two rows would
+    # delete the wrong lines -- the precondition is validated loudly
+    from engine.jobs import dedup_lines, ingest
+
+    t = pa.table({
+        "url": pa.array(["u", "u"], pa.string()),
+        "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+        "text": pa.array(["a\nb", "b"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    tab = Table.create(tmp_table_root)
+    ingest(tab, ray.data.from_arrow(t), CFG, sanitize_cols=())
+    with pytest.raises(Exception, match="unique 'url' keys"):
+        dedup_lines(tab, CFG)
